@@ -1,0 +1,223 @@
+"""Static configuration for the TPU-native SLAM framework.
+
+The reference keeps its configuration in a single mutable struct shared by
+every thread (reference: src/Context.h:14-67) plus compile-time macros
+(src/SlamGpuPipeline/defines.h:1-28).  Here the equivalent is a tree of frozen
+dataclasses: every field that shapes a tensor is a Python int/float that
+becomes a static constant under `jax.jit`, so one config object pins the whole
+compiled program (fixed shapes are the TPU idiom — no dynamic allocation on
+the compute path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """ORB front-end geometry and budgets.
+
+    Reference knobs: 848x480@60fps camera (src/Context.h:16-18), max 1024
+    keypoints (src/Context.h:27), one winner per 32x32 NMS cell
+    (src/SlamGpuPipeline/defines.h), FAST epsilon 13 / arc 12
+    (defines.h:7-9).  We default to a finer 16px grid over a 4-level
+    half-sampled pyramid, which gives an ORB-SLAM2-like spread of features,
+    and keep full 256-bit descriptors (the reference truncated to 32 bits at
+    src/cuda/orb.cu:145-169 — a bug we do not reproduce).
+    """
+
+    height: int = 480
+    width: int = 640
+    num_levels: int = 4             # pyramid levels, halfsample per level
+    cell_size: int = 16             # grid-NMS cell (reference: 32)
+    max_keypoints: int = 1024       # total feature budget across levels
+    fast_threshold: float = 13.0    # FAST epsilon (reference defines.h:7)
+    fast_arc_length: int = 12       # contiguous ring arc (reference defines.h:8)
+    fast_border: int = 19           # keep-out border at each level (patch radius + ring)
+    patch_size: int = 37            # orientation/BRIEF patch (must be odd)
+    num_angle_bins: int = 32        # rotated-BRIEF quantization (11.25 deg)
+    descriptor_bits: int = 256      # full BRIEF-256
+    min_score: float = 1e-3         # validity cutoff for cell winners
+
+    @property
+    def patch_radius(self) -> int:
+        return self.patch_size // 2
+
+    @property
+    def level_shapes(self) -> Tuple[Tuple[int, int], ...]:
+        shapes = []
+        h, w = self.height, self.width
+        for _ in range(self.num_levels):
+            shapes.append((h, w))
+            h, w = (h + 1) // 2, (w + 1) // 2
+        return tuple(shapes)
+
+    @property
+    def level_cells(self) -> Tuple[Tuple[int, int], ...]:
+        """(rows, cols) of NMS cells per level."""
+        return tuple(
+            (math.ceil(h / self.cell_size), math.ceil(w / self.cell_size))
+            for (h, w) in self.level_shapes
+        )
+
+    @property
+    def total_cells(self) -> int:
+        return sum(r * c for (r, c) in self.level_cells)
+
+    @property
+    def num_descriptor_words(self) -> int:
+        return self.descriptor_bits // 32
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics + optional Brown-Conrady distortion.
+
+    Mirrors the rs2_intrinsics payload the reference uploads once per run
+    (reference: src/SlamGpuPipeline/SlamGpuPipeline.cpp:60-91,
+    src/cuda/cuda-align.cu:23-109).
+    """
+
+    fx: float = 525.0
+    fy: float = 525.0
+    cx: float = 319.5
+    cy: float = 239.5
+    width: int = 640
+    height: int = 480
+    # Brown-Conrady: k1, k2, p1, p2, k3 (zeros = plain pinhole)
+    distortion: Tuple[float, float, float, float, float] = (0.0,) * 5
+    depth_scale: float = 1.0 / 5000.0   # TUM PNG-depth convention
+    baseline: float = 0.0               # stereo baseline [m]; 0 = mono/RGB-D
+
+    def as_tuple(self):
+        return (self.fx, self.fy, self.cx, self.cy)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    """Frame-to-frame / frame-to-map tracking.
+
+    The reference gates matches at +-2px reprojection and Hamming<4 on 32-bit
+    descriptors (buildStream.cpp:545-548); with full 256-bit descriptors the
+    equivalent gate scales to ~64, and the search window must survive real
+    motion, so it widens.
+    """
+
+    match_window: float = 48.0          # px reprojection gate
+    match_max_hamming: int = 64         # of 256 bits
+    match_ratio: float = 0.9            # best/second-best Lowe ratio
+    ransac_iters: int = 256             # batched hypotheses (Kabsch on 3-pt sets)
+    ransac_inlier_thresh: float = 0.05  # m, 3D-3D inlier distance
+    icp_iters: int = 8
+    icp_tol: float = 1e-6
+    min_matches: int = 12
+    min_inliers: int = 8
+    max_depth: float = 8.0              # m, reject far/invalid depth
+    min_depth: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Fixed-capacity keyframe/landmark store (the reference's unused
+    'keyframe' intent at src/Context.h:62-65 / SlamGpuPipeline.h:53, built
+    for real)."""
+
+    max_keyframes: int = 256
+    max_landmarks: int = 16384
+    max_obs: int = 65536
+    kf_min_inlier_ratio: float = 0.35   # spawn KF when tracked ratio drops
+    kf_min_gap: int = 5                 # frames between keyframes
+    window_size: int = 8                # local-BA keyframe window
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Levenberg–Marquardt with Schur complement over landmark blocks."""
+
+    iters: int = 10
+    damping_init: float = 1e-3
+    damping_up: float = 10.0
+    damping_down: float = 0.1
+    huber_delta: float = 5.991 ** 0.5   # px, chi2 95% for 2-dof
+    jacobi_precond: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    iters: int = 20
+    damping: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopClosureConfig:
+    min_score: int = 40                 # descriptor votes to consider a loop
+    min_kf_gap: int = 30                # don't match recent keyframes
+    ransac_inlier_thresh: float = 0.10
+    min_inliers: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Host pipeline: queue caps and backpressure mirror the reference bus
+    (src/Context.h:19-26, src/EventsThread.cpp:57-74)."""
+
+    queue_capacity: int = 5
+    drop_when_full: bool = True
+    prefetch_frames: int = 4
+    telemetry_port: int = 9002          # reference WebSocket port (Context.h:51)
+    telemetry_rate_bytes: int = 5_000_000
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    pose_graph: PoseGraphConfig = dataclasses.field(default_factory=PoseGraphConfig)
+    loop: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tum_config(height: int = 480, width: int = 640) -> SystemConfig:
+    return SystemConfig(
+        frontend=FrontendConfig(height=height, width=width),
+        camera=CameraConfig(
+            fx=525.0, fy=525.0, cx=319.5, cy=239.5,
+            width=width, height=height, depth_scale=1.0 / 5000.0,
+        ),
+    )
+
+
+def euroc_config() -> SystemConfig:
+    """EuRoC MAV stereo (cam0, 752x480, rectified)."""
+    return SystemConfig(
+        frontend=FrontendConfig(height=480, width=752),
+        camera=CameraConfig(
+            fx=435.2, fy=435.2, cx=367.4, cy=252.2,
+            width=752, height=480, baseline=0.110074,
+        ),
+    )
+
+
+def kitti_config() -> SystemConfig:
+    """KITTI odometry grayscale stereo (1241x376, rectified)."""
+    return SystemConfig(
+        frontend=FrontendConfig(height=376, width=1241),
+        camera=CameraConfig(
+            fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+            width=1241, height=376, baseline=0.5371,
+        ),
+        tracking=TrackingConfig(max_depth=80.0, ransac_inlier_thresh=0.5),
+    )

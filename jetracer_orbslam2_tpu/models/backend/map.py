@@ -1,0 +1,208 @@
+"""Fixed-capacity keyframe/landmark map store.
+
+The reference DECLARED a map (unused `keyframe` member at
+src/SlamGpuPipeline/SlamGpuPipeline.h:53, SLAM keyframe knobs at
+src/Context.h:62-65) but never built one.  This is the real thing, designed
+TPU-first: preallocated device arrays with validity masks and monotonic
+counters; inserts are `dynamic_update_slice`s; queries are dense batched ops.
+No host-side per-landmark bookkeeping — the map IS a pytree of arrays, which
+also makes it trivially checkpointable (runtime/checkpoint.py) and shardable
+(parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from jetracer_orbslam2_tpu.config import MapConfig
+from jetracer_orbslam2_tpu.models.frontend import Features
+from jetracer_orbslam2_tpu.ops import geometry as geo
+
+Array = jax.Array
+
+
+class MapState(NamedTuple):
+    # keyframes
+    kf_pose: Array      # (Kf, 4, 4) T_wc
+    kf_valid: Array     # (Kf,) bool
+    kf_frame_id: Array  # (Kf,) int32 source frame index
+    # per-keyframe raw features (for loop-closure retrieval + relocalization)
+    kf_desc: Array      # (Kf, K, 8) uint32
+    kf_xy: Array        # (Kf, K, 2) float32
+    kf_points: Array    # (Kf, K, 3) float32 camera-frame 3D
+    kf_has_point: Array  # (Kf, K) bool
+    kf_global_desc: Array  # (Kf, 256) float32 mean-bit global descriptor
+    # landmarks
+    lm_pos: Array       # (L, 3) world positions
+    lm_desc: Array      # (L, 8) uint32 representative descriptor
+    lm_valid: Array     # (L,) bool
+    # observations (flat edge list)
+    obs_kf: Array       # (O,) int32 keyframe slot
+    obs_lm: Array       # (O,) int32 landmark slot
+    obs_uv: Array       # (O, 2) float32 pixel measurement
+    obs_valid: Array    # (O,) bool
+    # counters
+    num_kf: Array       # () int32
+    num_lm: Array       # () int32
+    num_obs: Array      # () int32
+
+
+def init_map(cfg: MapConfig, num_keypoints: int, desc_words: int = 8) -> MapState:
+    kf, lm, ob, k = cfg.max_keyframes, cfg.max_landmarks, cfg.max_obs, num_keypoints
+    return MapState(
+        kf_pose=jnp.tile(jnp.eye(4, dtype=jnp.float32), (kf, 1, 1)),
+        kf_valid=jnp.zeros(kf, bool),
+        kf_frame_id=jnp.zeros(kf, jnp.int32),
+        kf_desc=jnp.zeros((kf, k, desc_words), jnp.uint32),
+        kf_xy=jnp.zeros((kf, k, 2), jnp.float32),
+        kf_points=jnp.zeros((kf, k, 3), jnp.float32),
+        kf_has_point=jnp.zeros((kf, k), bool),
+        kf_global_desc=jnp.zeros((kf, 256), jnp.float32),
+        lm_pos=jnp.zeros((lm, 3), jnp.float32),
+        lm_desc=jnp.zeros((lm, desc_words), jnp.uint32),
+        lm_valid=jnp.zeros(lm, bool),
+        obs_kf=jnp.zeros(ob, jnp.int32),
+        obs_lm=jnp.zeros(ob, jnp.int32),
+        obs_uv=jnp.zeros((ob, 2), jnp.float32),
+        obs_valid=jnp.zeros(ob, bool),
+        num_kf=jnp.int32(0),
+        num_lm=jnp.int32(0),
+        num_obs=jnp.int32(0),
+    )
+
+
+def _global_descriptor(desc: Array, valid: Array) -> Array:
+    """(K, 8) packed -> (256,) mean bit vector over valid keypoints (a
+    cheap whole-image retrieval signature; BoW-free loop-closure prefilter)."""
+    from jetracer_orbslam2_tpu.ops.orb import unpack_bits
+
+    bits = unpack_bits(desc)  # (K, 256)
+    w = valid.astype(jnp.float32)[:, None]
+    return jnp.sum(bits * w, 0) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+@jax.jit
+def insert_keyframe(
+    m: MapState,
+    feats: Features,
+    T_wc: Array,
+    frame_id: Array,
+    new_lm_mask: Array,
+    lm_match_idx: Array,
+    lm_match_ok: Array,
+) -> tuple[MapState, Array]:
+    """Insert a keyframe; create landmarks for `new_lm_mask` keypoints and
+    observations for both new and matched (`lm_match_ok`) landmarks.
+
+    new_lm_mask: (K,) bool — keypoints that should spawn new landmarks
+      (has_point and not associated to an existing landmark).
+    lm_match_idx/ok: (K,) association of keypoints to EXISTING landmark slots.
+
+    Returns (new_map, kf_slot). Fixed shapes throughout: each insert writes
+    exactly K landmark slots and K observation slots (invalid ones masked).
+    Capacity overflow drops the overflowing entries (mask stays False) —
+    the same backpressure philosophy as the reference's queue drops
+    (EventsThread.cpp:63).
+    """
+    k = feats.xy.shape[0]
+    slot = m.num_kf
+    kf_cap = m.kf_valid.shape[0]
+    lm_cap = m.lm_valid.shape[0]
+    obs_cap = m.obs_valid.shape[0]
+    can_insert = slot < kf_cap
+    slot_c = jnp.minimum(slot, kf_cap - 1)
+
+    new_lm_mask = new_lm_mask & feats.has_point & can_insert
+
+    # --- landmarks: compact new ones to the tail [num_lm, num_lm + n_new)
+    order = jnp.argsort(~new_lm_mask)          # new ones first, stable
+    new_rank = jnp.argsort(order)              # rank of each keypoint
+    lm_slot = m.num_lm + new_rank              # target slot per keypoint
+    lm_ok = new_lm_mask & (lm_slot < lm_cap)
+    lm_slot_c = jnp.minimum(lm_slot, lm_cap - 1)
+    world_pts = geo.transform_points(T_wc, feats.points[None])[0]
+    lm_pos = m.lm_pos.at[lm_slot_c].set(
+        jnp.where(lm_ok[:, None], world_pts, m.lm_pos[lm_slot_c]), mode="drop")
+    lm_desc = m.lm_desc.at[lm_slot_c].set(
+        jnp.where(lm_ok[:, None], feats.desc, m.lm_desc[lm_slot_c]), mode="drop")
+    lm_valid = m.lm_valid.at[lm_slot_c].set(
+        m.lm_valid[lm_slot_c] | lm_ok, mode="drop")
+    n_new = jnp.sum(lm_ok).astype(jnp.int32)
+
+    # --- observations: one per keypoint that references a landmark
+    # (either the newly created one or the matched existing one)
+    obs_target = jnp.where(lm_ok, lm_slot_c, lm_match_idx)
+    obs_ok = (lm_ok | (lm_match_ok & feats.valid & can_insert))
+    obs_rank = jnp.argsort(jnp.argsort(~obs_ok))
+    obs_slot = m.num_obs + obs_rank
+    obs_ok = obs_ok & (obs_slot < obs_cap)
+    obs_slot_c = jnp.minimum(obs_slot, obs_cap - 1)
+    obs_kf = m.obs_kf.at[obs_slot_c].set(
+        jnp.where(obs_ok, slot_c, m.obs_kf[obs_slot_c]), mode="drop")
+    obs_lm = m.obs_lm.at[obs_slot_c].set(
+        jnp.where(obs_ok, obs_target, m.obs_lm[obs_slot_c]), mode="drop")
+    obs_uv = m.obs_uv.at[obs_slot_c].set(
+        jnp.where(obs_ok[:, None], feats.xy, m.obs_uv[obs_slot_c]), mode="drop")
+    obs_valid = m.obs_valid.at[obs_slot_c].set(
+        m.obs_valid[obs_slot_c] | obs_ok, mode="drop")
+    n_obs = jnp.sum(obs_ok).astype(jnp.int32)
+
+    gdesc = _global_descriptor(feats.desc, feats.valid)
+
+    def upd(arr, val):
+        return jnp.where(can_insert, arr.at[slot_c].set(val), arr)
+
+    m2 = m._replace(
+        kf_pose=upd(m.kf_pose, T_wc),
+        kf_valid=jnp.where(can_insert, m.kf_valid.at[slot_c].set(True), m.kf_valid),
+        kf_frame_id=upd(m.kf_frame_id, frame_id.astype(jnp.int32)),
+        kf_desc=upd(m.kf_desc, feats.desc),
+        kf_xy=upd(m.kf_xy, feats.xy),
+        kf_points=upd(m.kf_points, feats.points),
+        kf_has_point=upd(m.kf_has_point, feats.has_point),
+        kf_global_desc=upd(m.kf_global_desc, gdesc),
+        lm_pos=lm_pos,
+        lm_desc=lm_desc,
+        lm_valid=lm_valid,
+        obs_kf=obs_kf,
+        obs_lm=obs_lm,
+        obs_uv=obs_uv,
+        obs_valid=obs_valid,
+        num_kf=jnp.where(can_insert, slot + 1, slot).astype(jnp.int32),
+        num_lm=(m.num_lm + n_new).astype(jnp.int32),
+        num_obs=(m.num_obs + n_obs).astype(jnp.int32),
+    )
+    return m2, slot_c
+
+
+@functools.partial(jax.jit, static_argnames=("max_hamming", "window"))
+def associate_landmarks(
+    m: MapState,
+    feats: Features,
+    T_wc_pred: Array,
+    intrinsics: Array,
+    max_hamming: float = 64.0,
+    window: float = 24.0,
+) -> tuple[Array, Array]:
+    """Match frame keypoints to map landmarks by projecting landmarks into
+    the predicted view and Hamming-matching within a window.
+
+    Returns (lm_idx (K,), ok (K,)).
+    """
+    from jetracer_orbslam2_tpu.ops import match as match_ops
+
+    T_cw = geo.pose_inverse(T_wc_pred)
+    pts_c = geo.transform_points(T_cw, m.lm_pos[None])[0]
+    uv = geo.project(pts_c, intrinsics)
+    in_front = pts_c[:, 2] > 0.05
+    res = match_ops.match(
+        feats.desc, m.lm_desc,
+        feats.valid, m.lm_valid & in_front,
+        xy_a_pred=feats.xy, xy_b=uv,
+        window=window, max_hamming=max_hamming, mutual=True,
+    )
+    return res.idx, res.valid

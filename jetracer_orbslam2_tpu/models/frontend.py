@@ -1,0 +1,105 @@
+"""ORB front-end: one jitted function from image to features.
+
+The reference's per-frame GPU worker loop runs ~10 kernels over 3 CUDA
+streams with manual synchronization (reference:
+src/SlamGpuPipeline/buildStream.cpp:345-666).  Here the whole front-end —
+gray -> blur -> pyramid -> FAST -> grid NMS -> top-K -> patches ->
+orientation -> BRIEF-256 -> backprojection — is ONE `jax.jit` graph: XLA
+fuses the elementwise stages, overlaps independent subgraphs (what the CUDA
+streams did by hand), and there is exactly one host<->device round trip per
+frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from jetracer_orbslam2_tpu.config import FrontendConfig
+from jetracer_orbslam2_tpu.ops import align, fast, nms, orb, patches, preprocess
+from jetracer_orbslam2_tpu.ops.nms import Keypoints
+
+Array = jax.Array
+
+
+class Features(NamedTuple):
+    """Fixed-K per-frame feature set (the slam_frame_t analogue,
+    reference src/SlamGpuPipeline/types.h:25-65 — minus the JPEG)."""
+
+    xy: Array       # (K, 2) float32 level-0 pixel coords
+    level: Array    # (K,) int32
+    score: Array    # (K,) float32
+    angle: Array    # (K,) float32 radians
+    desc: Array     # (K, 8) uint32 packed BRIEF-256
+    valid: Array    # (K,) bool detection validity
+    points: Array   # (K, 3) float32 camera-frame 3D (0 if no depth)
+    has_point: Array  # (K,) bool valid AND has usable depth
+
+
+def extract_features(
+    gray: Array,
+    cfg: FrontendConfig,
+) -> tuple[Keypoints, Array, Array]:
+    """Detect + describe on a grayscale image.
+
+    Returns (keypoints, angles, descriptors). Pure function of fixed shapes;
+    call under jit.
+    """
+    blurred = preprocess.gaussian_blur_3x3(gray)
+    levels = preprocess.build_pyramid(blurred, cfg.num_levels)
+    winners = []
+    for img in levels:
+        resp = fast.fast_score_map(
+            img, cfg.fast_threshold, cfg.fast_arc_length, cfg.fast_border
+        )
+        winners.append(nms.grid_nms(resp, cfg.cell_size))
+    kp = nms.select_keypoints(
+        winners, cfg.level_shapes, cfg.max_keypoints, cfg.min_score, cfg.fast_border
+    )
+    patch = patches.extract_patches(levels, kp, cfg.patch_size)
+    angles = orb.orientation(patch)
+    desc = orb.describe(patch, angles, cfg.descriptor_bits, cfg.num_angle_bins)
+    return kp, angles, desc
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "min_depth", "max_depth"))
+def frontend_rgbd(
+    rgb: Array,
+    depth: Array,
+    intrinsics: Array,
+    cfg: FrontendConfig,
+    min_depth: float = 0.05,
+    max_depth: float = 8.0,
+) -> Features:
+    """Full RGB-D front-end: (H, W, 3) rgb + (H, W) depth [m] -> Features."""
+    gray = preprocess.rgb_to_gray(rgb)
+    return frontend_gray_depth(gray, depth, intrinsics, cfg, min_depth, max_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "min_depth", "max_depth"))
+def frontend_gray_depth(
+    gray: Array,
+    depth: Array,
+    intrinsics: Array,
+    cfg: FrontendConfig,
+    min_depth: float = 0.05,
+    max_depth: float = 8.0,
+) -> Features:
+    kp, angles, desc = extract_features(gray.astype(jnp.float32), cfg)
+    pts, has_depth = align.backproject_keypoints(
+        kp.xy, depth, intrinsics, min_depth=min_depth, max_depth=max_depth
+    )
+    has_point = kp.valid & has_depth
+    return Features(
+        xy=kp.xy,
+        level=kp.level,
+        score=kp.score,
+        angle=angles,
+        desc=desc,
+        valid=kp.valid,
+        points=jnp.where(has_point[:, None], pts, 0.0),
+        has_point=has_point,
+    )

@@ -1,0 +1,188 @@
+"""Frame-to-frame RGB-D tracking: matching -> RANSAC-Kabsch -> pose.
+
+The reference computes matches and has a Kabsch/ICP pose solver but never
+closes the loop — poses are forced to identity
+(reference: src/SlamGpuPipeline/buildStream.cpp:572-584; solver at :29-188).
+This module actually estimates and chains poses, with a constant-velocity
+motion model (the reference's intent at buildStream.cpp:536) and a batched
+RANSAC front of the reference's `best_fit_transform`.
+
+Pose conventions: `T_ab` maps points from frame b to frame a
+(p_a = T_ab @ p_b).  World pose of a camera is `T_wc`; chaining:
+T_w_curr = T_w_prev @ T_prev_curr.
+
+TPU design notes:
+- RANSAC is not a loop: all `iters` minimal 3-point hypotheses are solved in
+  ONE batched Kabsch (jnp.linalg.svd over (iters, 3, 3)), scored in one
+  (iters, K) residual matrix, and the winner refit on its inliers — two SVD
+  dispatches total, fixed shapes.
+- ICP (reference buildStream.cpp:134-188) is a lax.scan over fixed
+  iterations with a masked nearest-neighbor distance matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from jetracer_orbslam2_tpu.config import TrackingConfig
+from jetracer_orbslam2_tpu.ops import geometry as geo
+from jetracer_orbslam2_tpu.ops import match as match_ops
+from jetracer_orbslam2_tpu.models.frontend import Features
+
+Array = jax.Array
+
+_BIG = 1e9
+
+
+class RansacResult(NamedTuple):
+    T: Array           # (4, 4) best rigid transform src -> dst
+    inliers: Array     # (K,) bool
+    num_inliers: Array  # () int32
+    ok: Array          # () bool
+
+
+class TrackResult(NamedTuple):
+    T_wc: Array        # (4, 4) world<-camera pose of current frame
+    velocity: Array    # (4, 4) T_prev_curr relative motion estimate
+    num_matches: Array  # () int32
+    num_inliers: Array  # () int32
+    tracked_ok: Array  # () bool
+    match_idx: Array   # (K,) int32 prev->curr match index
+    inlier_mask: Array  # (K,) bool inliers among prev keypoints
+
+
+def ransac_kabsch(
+    src: Array,
+    dst: Array,
+    weights: Array,
+    key: Array,
+    iters: int = 256,
+    thresh: float = 0.05,
+    min_inliers: int = 8,
+) -> RansacResult:
+    """Robust rigid fit T with dst ~= T @ src.
+
+    src, dst: (K, 3); weights: (K,) float32 in {0,1} (match validity).
+    """
+    k = src.shape[0]
+    logits = jnp.log(jnp.maximum(weights, 1e-20))
+    # (iters, 3) weighted samples of candidate correspondences
+    sample_idx = jax.random.categorical(key, logits, shape=(iters, 3))
+    s = src[sample_idx]                      # (iters, 3, 3)
+    d = dst[sample_idx]
+    T_h = geo.kabsch(s, d)                   # (iters, 4, 4) batched SVD
+    # score all hypotheses against all correspondences
+    src_t = jnp.einsum("bij,kj->bki", T_h[:, :3, :3], src) + T_h[:, None, :3, 3]
+    err = jnp.linalg.norm(src_t - dst[None], axis=-1)          # (iters, K)
+    inl = (err < thresh) & (weights > 0)
+    score = jnp.sum(inl, axis=1)
+    best = jnp.argmax(score)
+    # refine on the best hypothesis' inliers, then recompute inliers once more
+    w1 = inl[best].astype(src.dtype)
+    T1 = geo.kabsch(src, dst, w1)
+    err1 = jnp.linalg.norm(geo.transform_points(T1, src[None])[0] - dst, axis=-1)
+    inl1 = (err1 < thresh) & (weights > 0)
+    w2 = inl1.astype(src.dtype)
+    T2 = geo.kabsch(src, dst, w2)
+    n = jnp.sum(inl1).astype(jnp.int32)
+    ok = n >= min_inliers
+    eye = jnp.eye(4, dtype=src.dtype)
+    return RansacResult(T=jnp.where(ok, T2, eye), inliers=inl1, num_inliers=n, ok=ok)
+
+
+def icp(
+    src: Array,
+    dst: Array,
+    src_mask: Array,
+    dst_mask: Array,
+    iters: int = 8,
+    max_pair_dist: float = 0.25,
+    T_init: Array | None = None,
+) -> tuple[Array, Array]:
+    """Point-to-point ICP (reference buildStream.cpp:134-188).
+
+    Returns (T, mean_err) with dst ~= T @ src. Fixed iteration count
+    (lax.scan); the reference's O(N^2) CPU nearest-neighbor becomes a masked
+    (Ns, Nd) distance matrix per iteration.
+    """
+    T0 = jnp.eye(4, dtype=src.dtype) if T_init is None else T_init
+
+    def step(T, _):
+        src_t = geo.transform_points(T, src[None])[0]
+        d2 = jnp.sum((src_t[:, None] - dst[None]) ** 2, -1)
+        d2 = jnp.where(dst_mask[None, :], d2, _BIG)
+        nn = jnp.argmin(d2, axis=1)
+        nn_dist = jnp.sqrt(jnp.min(d2, axis=1))
+        w = (src_mask & (nn_dist < max_pair_dist)).astype(src.dtype)
+        T_new = geo.kabsch(src, dst[nn], w)
+        err = jnp.sum(nn_dist * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return T_new, err
+
+    T, errs = jax.lax.scan(step, T0, None, length=iters)
+    return T, errs[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_rgbd(
+    prev: Features,
+    curr: Features,
+    T_w_prev: Array,
+    velocity: Array,
+    intrinsics: Array,
+    key: Array,
+    cfg: TrackingConfig = TrackingConfig(),
+) -> TrackResult:
+    """One tracking step between consecutive RGB-D frames.
+
+    velocity: previous relative motion T_prevprev_prev, reused as the
+    constant-velocity prediction T_prev_curr (reference motion model,
+    buildStream.cpp:536).
+    """
+    # Predict current positions of prev keypoints for the match gate:
+    # X_curr_pred = inv(velocity) @ X_prev  (velocity = T_prev_curr)
+    rel_pred_inv = geo.pose_inverse(velocity)
+    pts_in_curr = geo.transform_points(rel_pred_inv, prev.points[None])[0]
+    xy_pred = geo.project(pts_in_curr, intrinsics)
+
+    m = match_ops.match(
+        prev.desc,
+        curr.desc,
+        prev.has_point,
+        curr.has_point,
+        xy_a_pred=xy_pred,
+        xy_b=curr.xy,
+        window=cfg.match_window,
+        max_hamming=cfg.match_max_hamming,
+        ratio=cfg.match_ratio,
+    )
+    dst_pts = curr.points[m.idx]
+    pair_ok = m.valid & jnp.take(curr.has_point, m.idx)
+    num_matches = jnp.sum(pair_ok).astype(jnp.int32)
+
+    # Solve T_prev_curr directly: X_prev = T @ X_curr
+    rr = ransac_kabsch(
+        dst_pts,
+        prev.points,
+        pair_ok.astype(jnp.float32),
+        key,
+        iters=cfg.ransac_iters,
+        thresh=cfg.ransac_inlier_thresh,
+        min_inliers=cfg.min_inliers,
+    )
+    ok = rr.ok & (num_matches >= cfg.min_matches)
+    T_prev_curr = jnp.where(ok, rr.T, velocity)  # fall back to motion model
+    T_w_curr = T_w_prev @ T_prev_curr
+    new_velocity = jnp.where(ok, T_prev_curr, velocity)
+    return TrackResult(
+        T_wc=T_w_curr,
+        velocity=new_velocity,
+        num_matches=num_matches,
+        num_inliers=rr.num_inliers,
+        tracked_ok=ok,
+        match_idx=m.idx,
+        inlier_mask=rr.inliers & pair_ok,
+    )

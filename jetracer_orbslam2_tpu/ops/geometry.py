@@ -1,0 +1,238 @@
+"""SE(3)/SO(3) Lie algebra, camera projection models, and Kabsch alignment.
+
+TPU-native equivalents of the reference's Eigen-based estimation math
+(reference: src/SlamGpuPipeline/buildStream.cpp:29-84 `best_fit_transform`)
+and its CUDA (de)projection helpers with Brown-Conrady distortion
+(reference: src/cuda/cuda-align.cu:23-187).  Everything is float32,
+batch-first, and differentiable; double precision (which the reference used
+for 3D points, cuda-align.cu:84-109) is avoided — TPU f64 is emulated — and
+accuracy is recovered by centering point sets before SVD.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# SO(3) / SE(3)
+# ---------------------------------------------------------------------------
+
+
+def hat(w: Array) -> Array:
+    """so(3) hat operator: (..., 3) -> (..., 3, 3)."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zeros = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -wz, wy], -1),
+            jnp.stack([wz, zeros, -wx], -1),
+            jnp.stack([-wy, wx, zeros], -1),
+        ],
+        -2,
+    )
+
+
+def so3_exp(w: Array) -> Array:
+    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation.
+
+    Taylor-guarded near theta=0 so it is jit/grad-safe.
+    """
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]  # (...,1,1)
+    theta = jnp.sqrt(theta2)
+    W = hat(w)
+    W2 = W @ W
+    small = theta2 < 1e-8
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + A * W + B * W2
+
+
+def so3_log(R: Array) -> Array:
+    """(..., 3, 3) rotation -> (..., 3) axis-angle."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    # off-diagonal antisymmetric part
+    v = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        -1,
+    )
+    sin_t = jnp.sin(theta)
+    small = jnp.abs(sin_t) < 1e-6
+    scale = jnp.where(
+        small,
+        0.5 + theta * theta / 12.0,
+        theta / (2.0 * jnp.where(small, 1.0, sin_t)),
+    )
+    w = scale[..., None] * v
+    # near theta = pi the antisymmetric part vanishes; recover axis from the
+    # symmetric part (diagonal of R + I)
+    near_pi = theta[..., None] > 3.0
+    axis_sq = jnp.clip((jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], -1) + 1.0) * 0.5, 0.0, 1.0)
+    axis = jnp.sqrt(axis_sq)
+    # fix signs using off-diagonals
+    sx = jnp.where(R[..., 1, 0] + R[..., 0, 1] >= 0, 1.0, -1.0)
+    sy = jnp.where(R[..., 2, 1] + R[..., 1, 2] >= 0, 1.0, -1.0)
+    signs = jnp.stack([jnp.ones_like(sx), sx, sx * sy], -1)
+    w_pi = axis * signs * theta[..., None]
+    return jnp.where(near_pi, w_pi, w)
+
+
+def se3_exp(xi: Array) -> Array:
+    """(..., 6) twist [v, w] -> (..., 4, 4) homogeneous transform."""
+    v, w = xi[..., :3], xi[..., 3:]
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
+    theta = jnp.sqrt(theta2)
+    W = hat(w)
+    W2 = W @ W
+    small = theta2 < 1e-8
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (1.0 - A) / jnp.where(small, 1.0, theta2))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
+    R = eye + A * W + B * W2
+    V = eye + B * W + C * W2
+    t = (V @ v[..., None])[..., 0]
+    return pose_from_rt(R, t)
+
+
+def se3_log(T: Array) -> Array:
+    """(..., 4, 4) -> (..., 6) twist [v, w]."""
+    R, t = T[..., :3, :3], T[..., :3, 3]
+    w = so3_log(R)
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
+    theta = jnp.sqrt(theta2)
+    W = hat(w)
+    W2 = W @ W
+    small = theta2 < 1e-8
+    # V^{-1} = I - W/2 + (1/theta2)(1 - A/(2B)) W^2
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    coef = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - A / (2.0 * B)) / jnp.where(small, 1.0, theta2),
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
+    Vinv = eye - 0.5 * W + coef * W2
+    v = (Vinv @ t[..., None])[..., 0]
+    return jnp.concatenate([v, w], -1)
+
+
+def pose_from_rt(R: Array, t: Array) -> Array:
+    """(..., 3, 3), (..., 3) -> (..., 4, 4)."""
+    batch = R.shape[:-2]
+    T = jnp.zeros(batch + (4, 4), dtype=R.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
+def pose_inverse(T: Array) -> Array:
+    R, t = T[..., :3, :3], T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    return pose_from_rt(Rt, -(Rt @ t[..., None])[..., 0])
+
+
+def transform_points(T: Array, pts: Array) -> Array:
+    """Apply (..., 4, 4) to (..., N, 3)."""
+    R, t = T[..., :3, :3], T[..., :3, 3]
+    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+
+
+# ---------------------------------------------------------------------------
+# Camera model (pinhole + Brown-Conrady)
+# Reference: src/cuda/cuda-align.cu:23-109 (project_pixel_to_point /
+# project_point_to_pixel with RS2_DISTORTION_*).
+# ---------------------------------------------------------------------------
+
+
+def distort_brown_conrady(xy: Array, dist: Array) -> Array:
+    """Apply Brown-Conrady distortion to normalized coords (..., 2)."""
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    f = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * f + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * f + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd], -1)
+
+
+def undistort_brown_conrady(xy: Array, dist: Array, iters: int = 8) -> Array:
+    """Invert distortion by fixed-point iteration (jit-safe static loop)."""
+
+    def body(_, guess):
+        d = distort_brown_conrady(guess, dist) - guess
+        return xy - d
+
+    return jax.lax.fori_loop(0, iters, body, xy)
+
+
+def project(points: Array, intrinsics: Array, dist: Array | None = None) -> Array:
+    """Camera-frame 3D (..., 3) -> pixel coords (..., 2).
+
+    `intrinsics` = [fx, fy, cx, cy]. Points behind the camera project to
+    whatever z<=0 gives; callers mask with `points[..., 2] > 0`.
+    """
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    z = points[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    xy = points[..., :2] / safe_z[..., None]
+    if dist is not None:
+        xy = distort_brown_conrady(xy, dist)
+    return jnp.stack([xy[..., 0] * fx + cx, xy[..., 1] * fy + cy], -1)
+
+
+def deproject(pixels: Array, depth: Array, intrinsics: Array,
+              dist: Array | None = None) -> Array:
+    """Pixel coords (..., 2) + depth (...) -> camera-frame 3D (..., 3)."""
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    x = (pixels[..., 0] - cx) / fx
+    y = (pixels[..., 1] - cy) / fy
+    xy = jnp.stack([x, y], -1)
+    if dist is not None:
+        xy = undistort_brown_conrady(xy, dist)
+    return jnp.stack([xy[..., 0] * depth, xy[..., 1] * depth, depth], -1)
+
+
+# ---------------------------------------------------------------------------
+# Kabsch / Umeyama best-fit rigid transform
+# Reference: best_fit_transform at src/SlamGpuPipeline/buildStream.cpp:29-84.
+# ---------------------------------------------------------------------------
+
+
+def kabsch(src: Array, dst: Array, weights: Array | None = None) -> Array:
+    """Weighted rigid transform T (4,4) minimizing ||T@src - dst||^2.
+
+    src, dst: (N, 3); weights: (N,) nonnegative (mask doubles as weight).
+    Batched over leading dims if present (uses jnp.linalg.svd which batches).
+    """
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], src.dtype)
+    w = weights[..., None]
+    wsum = jnp.maximum(jnp.sum(weights, -1, keepdims=True)[..., None], 1e-9)
+    mu_s = jnp.sum(src * w, -2, keepdims=True) / wsum
+    mu_d = jnp.sum(dst * w, -2, keepdims=True) / wsum
+    s = src - mu_s
+    d = dst - mu_d
+    # H = sum_i w_i s_i d_i^T  -> (..., 3, 3)
+    H = jnp.einsum("...ni,...nj->...ij", s * w, d)
+    U, _, Vt = jnp.linalg.svd(H)
+    V = jnp.swapaxes(Vt, -1, -2)
+    Ut = jnp.swapaxes(U, -1, -2)
+    # det flip guard (reference buildStream.cpp:72-77): R = V diag(1,1,det) U^T
+    det = jnp.sign(jnp.linalg.det(V @ Ut))
+    V_fixed = V.at[..., :, 2].multiply(det[..., None])
+    R = V_fixed @ Ut
+    t = mu_d[..., 0, :] - (R @ mu_s[..., 0, :, None])[..., 0]
+    return pose_from_rt(R, t)

@@ -1,0 +1,130 @@
+"""ORB: intensity-centroid orientation + rotated BRIEF-256 descriptors.
+
+TPU-native re-design of the reference kernels
+(reference: orientation src/cuda/orb.cu:77-142, descriptor src/cuda/orb.cu:17-75).
+
+Design notes:
+- Orientation: the CUDA kernel walks the 31x31 disc with per-row bounds and a
+  warp reduction; here the disc moments are two masked tensor contractions
+  over the (K, P, P) patch stack — one fused VPU pass.
+- Descriptor: instead of the reference's hand-tuned `bit_pattern_31_` table
+  (orb.cuh:39-297) we generate our own fixed BRIEF pattern (isotropic
+  Gaussian pairs per the BRIEF paper, deterministic seed).  Rotation is
+  quantized into `num_angle_bins` bins and all rotated patterns are
+  precomputed as flat gather indices, so describing K keypoints is a single
+  take_along_axis + compare + bit-pack — no per-keypoint trig or control flow.
+- Descriptors are FULL 256-bit (8 x uint32).  The reference truncates to the
+  first 32 bits when packing (compress_descriptors_kernel, orb.cu:145-169);
+  we deliberately do not reproduce that information loss.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_PATTERN_SEED = 0x0B5E55ED
+_PATTERN_CLIP = 12  # max |coord|; rotated stays within radius 17 < 18
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern(num_bits: int = 256, patch_size: int = 37) -> np.ndarray:
+    """(num_bits, 2, 2) float32 point pairs (x, y) in patch coords.
+
+    BRIEF 'G II' sampling: both points i.i.d. N(0, (S/5)^2), clipped so any
+    rotation stays inside the patch.
+    """
+    rng = np.random.RandomState(_PATTERN_SEED)
+    sigma = patch_size / 5.0
+    pts = rng.randn(num_bits, 2, 2) * sigma
+    pts = np.clip(pts, -_PATTERN_CLIP, _PATTERN_CLIP)
+    return pts.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def rotated_pattern_indices(
+    num_bits: int = 256, patch_size: int = 37, num_angle_bins: int = 32
+) -> np.ndarray:
+    """(num_angle_bins, 2, num_bits) int32 flat patch indices.
+
+    Entry [b, j, i] = flattened (y * P + x) index of point j of pair i under
+    rotation by angle 2*pi*b/num_angle_bins, relative to patch center.
+    """
+    pts = brief_pattern(num_bits, patch_size)  # (N, 2, 2) as (x, y)
+    r = patch_size // 2
+    out = np.zeros((num_angle_bins, 2, num_bits), dtype=np.int32)
+    for b in range(num_angle_bins):
+        a = 2.0 * np.pi * b / num_angle_bins
+        c, s = np.cos(a), np.sin(a)
+        x = pts[..., 0] * c - pts[..., 1] * s
+        y = pts[..., 0] * s + pts[..., 1] * c
+        xi = np.clip(np.rint(x).astype(np.int32) + r, 0, patch_size - 1)
+        yi = np.clip(np.rint(y).astype(np.int32) + r, 0, patch_size - 1)
+        out[b] = (yi * patch_size + xi).T
+    return out
+
+
+def orientation(patches: Array, disc_radius: int = 15) -> Array:
+    """Intensity-centroid angle per patch: (K, P, P) -> (K,) radians.
+
+    theta = atan2(m01, m10), moments over the centered disc
+    (reference: src/cuda/orb.cu:77-142).
+    """
+    p = patches.shape[-1]
+    r = p // 2
+    coords = jnp.arange(p, dtype=jnp.float32) - r
+    dy = coords[:, None]
+    dx = coords[None, :]
+    disc = (dx * dx + dy * dy) <= float(disc_radius * disc_radius)
+    wx = jnp.where(disc, dx, 0.0)
+    wy = jnp.where(disc, dy, 0.0)
+    m10 = jnp.einsum("kij,ij->k", patches, wx)
+    m01 = jnp.einsum("kij,ij->k", patches, wy)
+    return jnp.arctan2(m01, m10)
+
+
+def describe(
+    patches: Array,
+    angles: Array,
+    num_bits: int = 256,
+    num_angle_bins: int = 32,
+) -> Array:
+    """Rotated BRIEF: (K, P, P) patches + (K,) angles -> (K, num_bits/32) uint32.
+
+    Smooths patches with a 3x3-ish blur implicit in pyramid construction; the
+    comparison is I(p1) < I(p2) on rotated pattern points (nearest-neighbor
+    sampling via precomputed integer indices).
+    """
+    k, p, _ = patches.shape
+    table = jnp.asarray(
+        rotated_pattern_indices(num_bits, p, num_angle_bins)
+    )  # (B, 2, N)
+    two_pi = 2.0 * jnp.pi
+    frac = (angles % two_pi) / two_pi
+    bins = jnp.clip(
+        jnp.round(frac * num_angle_bins).astype(jnp.int32) % num_angle_bins,
+        0,
+        num_angle_bins - 1,
+    )
+    idx = table[bins]                       # (K, 2, N)
+    flat = patches.reshape(k, p * p)
+    v1 = jnp.take_along_axis(flat, idx[:, 0, :], axis=1)
+    v2 = jnp.take_along_axis(flat, idx[:, 1, :], axis=1)
+    bits = (v1 < v2).astype(jnp.uint32)     # (K, N)
+    words = bits.reshape(k, num_bits // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(words * weights, axis=-1, dtype=jnp.uint32)
+
+
+def unpack_bits(desc: Array, num_bits: int = 256) -> Array:
+    """(K, W) uint32 -> (K, num_bits) float32 in {0, 1} (for MXU matching)."""
+    k = desc.shape[0]
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = (desc[:, :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(k, num_bits).astype(jnp.float32)
