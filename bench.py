@@ -1,0 +1,81 @@
+"""Headline benchmark: RGB-D tracking throughput, frames/s on one chip.
+
+The reference's design rate is 848x480 @ 60 fps on a Jetson GPU
+(reference src/Context.h:16-18, src/RealSense/RealSenseD400.cpp:166-170) —
+no measured numbers were ever published (BASELINE.md), so 60 fps (the
+camera's rate, the ceiling the pipeline was built to) is the baseline we
+compare against at the same 480-row resolution class.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from jetracer_orbslam2_tpu.config import FrontendConfig, TrackingConfig
+    from jetracer_orbslam2_tpu.io.synthetic import generate_sequence
+    from jetracer_orbslam2_tpu.models.odometry import init_state, odometry_scan
+    from jetracer_orbslam2_tpu.evaluation import ate
+
+    H, W = 480, 640
+    N = 120
+    seq = generate_sequence(n_frames=N, shape=(H, W))
+    fcfg = FrontendConfig(height=H, width=W)
+    tcfg = TrackingConfig()
+    intr = seq.intrinsics
+
+    gray = jax.device_put(seq.gray)
+    depth = jax.device_put(seq.depth)
+
+    # warm up / compile.  NOTE: timing must go through a host fetch —
+    # block_until_ready has been observed returning early on tunneled
+    # backends, producing absurd fps numbers.
+    state0 = init_state(gray[0], depth[0], intr, fcfg, tcfg)
+    _, poses_d, ok = odometry_scan(state0, gray[1:], depth[1:], intr, fcfg, tcfg)
+    np.asarray(poses_d)
+
+    # timed: whole-sequence scan on device (dataset-replay throughput);
+    # best of 3 to shed tunnel jitter, fetch (7 KB) inside the timed region
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, poses_d, ok = odometry_scan(
+            state0, gray[1:], depth[1:], intr, fcfg, tcfg)
+        np.asarray(poses_d)
+        dts.append(time.perf_counter() - t0)
+    fps = (N - 1) / min(dts)
+
+    # sanity: the benchmark only counts if tracking actually works
+    poses = np.concatenate([np.eye(4)[None], np.asarray(poses_d)])
+    r = ate(jnp.asarray(poses), seq.poses[:N])
+    rmse_cm = float(r.rmse) * 100.0
+    if not np.isfinite(rmse_cm) or rmse_cm > 10.0:
+        print(json.dumps({
+            "metric": "tracking_fps_640x480",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"tracking diverged: ATE {rmse_cm:.1f} cm",
+        }))
+        sys.exit(1)
+
+    baseline_fps = 60.0   # reference camera/pipeline design rate
+    print(json.dumps({
+        "metric": "tracking_fps_640x480",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+        "ate_rmse_cm": round(rmse_cm, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,18 +2,20 @@
 
 Multi-chip TPU hardware is not available in CI; sharding correctness is
 validated on XLA's host platform with 8 virtual devices (SURVEY.md §4).
-Must run before `import jax`.
+
+Environment subtlety: the container's `sitecustomize.py` (on PYTHONPATH at
+/root/.axon_site) imports jax at interpreter startup — before pytest loads
+this conftest — so setting XLA_FLAGS/JAX_PLATFORMS in os.environ here is
+too late.  But the backends themselves are created lazily, so flipping the
+jax *config* still works, and `jax_num_cpu_devices` replaces the
+`--xla_force_host_platform_device_count` flag.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}")
