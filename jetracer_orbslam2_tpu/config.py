@@ -134,6 +134,7 @@ class MapConfig:
     max_obs: int = 65536
     kf_min_inlier_ratio: float = 0.35   # spawn KF when tracked ratio drops
     kf_min_gap: int = 5                 # frames between keyframes
+    kf_max_gap: int = 30                # force a KF after this many frames
     window_size: int = 8                # local-BA keyframe window
 
 

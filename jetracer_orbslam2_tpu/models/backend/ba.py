@@ -46,6 +46,11 @@ class BAProblem(NamedTuple):
     obs_kf:   (E,) int32 pose index per observation.
     obs_lm:   (E,) int32 landmark index per observation.
     obs_uv:   (E, 2)    pixel measurements.
+    obs_z:    (E,)      measured camera-frame depth (RGB-D / stereo), m.
+    obs_z_valid: (E,) bool depth measurement validity.  Depth residuals
+              anchor scale: reprojection-only BA over a short RGB-D window
+              is near-degenerate (landmarks slide along rays) — the same
+              reason ORB-SLAM2 uses a stereo/depth residual for RGB-D.
     obs_valid:(E,) bool.
     fixed:    (P,) bool gauge-fixed poses (at least one must be True).
     """
@@ -55,8 +60,19 @@ class BAProblem(NamedTuple):
     obs_kf: Array
     obs_lm: Array
     obs_uv: Array
+    obs_z: Array
+    obs_z_valid: Array
     obs_valid: Array
     fixed: Array
+
+    @classmethod
+    def without_depth(cls, poses, points, obs_kf, obs_lm, obs_uv,
+                      obs_valid, fixed) -> "BAProblem":
+        e = obs_kf.shape[0]
+        return cls(poses=poses, points=points, obs_kf=obs_kf, obs_lm=obs_lm,
+                   obs_uv=obs_uv, obs_z=jnp.zeros(e, jnp.float32),
+                   obs_z_valid=jnp.zeros(e, bool), obs_valid=obs_valid,
+                   fixed=fixed)
 
 
 class BAStats(NamedTuple):
@@ -66,13 +82,16 @@ class BAStats(NamedTuple):
 
 def _residuals_and_jacobians(
     poses_cw: Array, points: Array, obs_kf: Array, obs_lm: Array,
-    obs_uv: Array, intrinsics: Array,
+    obs_uv: Array, obs_z: Array, obs_z_valid: Array, intrinsics: Array,
 ):
     """Batched residual + analytic Jacobians for all E edges.
 
-    Residual r = project(T_cw X_w) - uv, with left-multiplicative se(3)
-    increment on T_cw ordered (translation, rotation): delta_p = dt + dw x p.
-    Returns r (E,2), Jp (E,2,6), Jl (E,2,3), z (E,) camera depth.
+    Residual r = [project(T_cw X_w) - uv, wz * (z - z_meas)], with
+    left-multiplicative se(3) increment on T_cw ordered (translation,
+    rotation): delta_p = dt + dw x p.  The depth row (weight wz = fx / z,
+    converting meters to pixel-like units — the ORB-SLAM2 stereo-residual
+    scaling) is zeroed where obs_z_valid is False.
+    Returns r (E,3), Jp (E,3,6), Jl (E,3,3), z (E,) camera depth.
     """
     fx, fy = intrinsics[0], intrinsics[1]
     T = poses_cw[obs_kf]                       # (E, 4, 4)
@@ -83,19 +102,22 @@ def _residuals_and_jacobians(
     iz = 1.0 / zc
     u = fx * x * iz + intrinsics[2]
     v = fy * y * iz + intrinsics[3]
-    r = jnp.stack([u, v], -1) - obs_uv         # (E, 2)
+    wz = jnp.where(obs_z_valid, fx / jnp.maximum(obs_z, 0.1), 0.0)
+    r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1],
+                   wz * (z - obs_z)], -1)      # (E, 3)
 
-    # d(u,v)/dp  (E, 2, 3)
+    # d(u,v,wz*z)/dp  (E, 3, 3)
     zero = jnp.zeros_like(iz)
     J_proj = jnp.stack([
         jnp.stack([fx * iz, zero, -fx * x * iz * iz], -1),
         jnp.stack([zero, fy * iz, -fy * y * iz * iz], -1),
+        jnp.stack([zero, zero, wz], -1),
     ], 1)
     # dp/dxi = [I | -hat(p)]  (E, 3, 6)
     I3 = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), (p.shape[0], 3, 3))
     J_pt_pose = jnp.concatenate([I3, -geo.hat(p)], -1)
-    Jp = jnp.einsum("eij,ejk->eik", J_proj, J_pt_pose)   # (E, 2, 6)
-    Jl = jnp.einsum("eij,ejk->eik", J_proj, T[:, :3, :3])  # (E, 2, 3)
+    Jp = jnp.einsum("eij,ejk->eik", J_proj, J_pt_pose)   # (E, 3, 6)
+    Jl = jnp.einsum("eij,ejk->eik", J_proj, T[:, :3, :3])  # (E, 3, 3)
     return r, Jp, Jl, z
 
 
@@ -114,7 +136,8 @@ def robust_cost(r: Array, w_valid: Array, delta: float) -> Array:
 
 def build_normal_equations(
     poses_cw: Array, points: Array, obs_kf: Array, obs_lm: Array,
-    obs_uv: Array, w_valid: Array, intrinsics: Array, huber_delta: float,
+    obs_uv: Array, obs_z: Array, obs_z_valid: Array, w_valid: Array,
+    intrinsics: Array, huber_delta: float,
 ):
     """Assemble the block normal equations for one LM iteration.
 
@@ -126,7 +149,8 @@ def build_normal_equations(
     P = poses_cw.shape[0]
     L = points.shape[0]
     r, Jp, Jl, z = _residuals_and_jacobians(
-        poses_cw, points, obs_kf, obs_lm, obs_uv, intrinsics)
+        poses_cw, points, obs_kf, obs_lm, obs_uv, obs_z, obs_z_valid,
+        intrinsics)
     w_valid = w_valid * (z > 1e-3)
     cost = robust_cost(r, w_valid, huber_delta)
     w = _huber_weight(r, huber_delta) * w_valid
@@ -214,7 +238,8 @@ def bundle_adjust(
     def nle(poses_cw, points):
         return build_normal_equations(
             poses_cw, points, prob.obs_kf, prob.obs_lm, prob.obs_uv,
-            w_valid, intrinsics, cfg.huber_delta)
+            prob.obs_z, prob.obs_z_valid, w_valid, intrinsics,
+            cfg.huber_delta)
 
     def step(carry, _):
         poses_cw, points, lam, cost_prev = carry

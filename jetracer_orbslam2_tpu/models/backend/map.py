@@ -40,10 +40,12 @@ class MapState(NamedTuple):
     lm_pos: Array       # (L, 3) world positions
     lm_desc: Array      # (L, 8) uint32 representative descriptor
     lm_valid: Array     # (L,) bool
+    lm_ref_kf: Array    # (L,) int32 keyframe slot that spawned the landmark
     # observations (flat edge list)
     obs_kf: Array       # (O,) int32 keyframe slot
     obs_lm: Array       # (O,) int32 landmark slot
     obs_uv: Array       # (O, 2) float32 pixel measurement
+    obs_z: Array        # (O,) float32 measured camera-frame depth (0 = none)
     obs_valid: Array    # (O,) bool
     # counters
     num_kf: Array       # () int32
@@ -65,9 +67,11 @@ def init_map(cfg: MapConfig, num_keypoints: int, desc_words: int = 8) -> MapStat
         lm_pos=jnp.zeros((lm, 3), jnp.float32),
         lm_desc=jnp.zeros((lm, desc_words), jnp.uint32),
         lm_valid=jnp.zeros(lm, bool),
+        lm_ref_kf=jnp.zeros(lm, jnp.int32),
         obs_kf=jnp.zeros(ob, jnp.int32),
         obs_lm=jnp.zeros(ob, jnp.int32),
         obs_uv=jnp.zeros((ob, 2), jnp.float32),
+        obs_z=jnp.zeros(ob, jnp.float32),
         obs_valid=jnp.zeros(ob, bool),
         num_kf=jnp.int32(0),
         num_lm=jnp.int32(0),
@@ -131,6 +135,8 @@ def insert_keyframe(
         jnp.where(lm_ok[:, None], feats.desc, m.lm_desc[lm_slot_c]), mode="drop")
     lm_valid = m.lm_valid.at[lm_slot_c].set(
         m.lm_valid[lm_slot_c] | lm_ok, mode="drop")
+    lm_ref_kf = m.lm_ref_kf.at[lm_slot_c].set(
+        jnp.where(lm_ok, slot_c, m.lm_ref_kf[lm_slot_c]), mode="drop")
     n_new = jnp.sum(lm_ok).astype(jnp.int32)
 
     # --- observations: one per keypoint that references a landmark
@@ -147,6 +153,9 @@ def insert_keyframe(
         jnp.where(obs_ok, obs_target, m.obs_lm[obs_slot_c]), mode="drop")
     obs_uv = m.obs_uv.at[obs_slot_c].set(
         jnp.where(obs_ok[:, None], feats.xy, m.obs_uv[obs_slot_c]), mode="drop")
+    z_meas = jnp.where(feats.has_point, feats.points[:, 2], 0.0)
+    obs_z = m.obs_z.at[obs_slot_c].set(
+        jnp.where(obs_ok, z_meas, m.obs_z[obs_slot_c]), mode="drop")
     obs_valid = m.obs_valid.at[obs_slot_c].set(
         m.obs_valid[obs_slot_c] | obs_ok, mode="drop")
     n_obs = jnp.sum(obs_ok).astype(jnp.int32)
@@ -168,9 +177,11 @@ def insert_keyframe(
         lm_pos=lm_pos,
         lm_desc=lm_desc,
         lm_valid=lm_valid,
+        lm_ref_kf=lm_ref_kf,
         obs_kf=obs_kf,
         obs_lm=obs_lm,
         obs_uv=obs_uv,
+        obs_z=obs_z,
         obs_valid=obs_valid,
         num_kf=jnp.where(can_insert, slot + 1, slot).astype(jnp.int32),
         num_lm=(m.num_lm + n_new).astype(jnp.int32),

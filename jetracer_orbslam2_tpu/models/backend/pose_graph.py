@@ -1,0 +1,123 @@
+"""Pose-graph optimization on SE(3) — Gauss-Newton over relative-pose edges.
+
+The loop-closure backend the reference never had (its declared intent:
+keyframe knobs at src/Context.h:62-65; the repo's own name).  After a loop
+is detected and geometrically verified, the accumulated drift is spread
+over the trajectory by minimizing
+
+    sum_e || log( Z_e^-1 · T_i^-1 · T_j ) ||^2_Lambda
+
+over keyframe poses T (T_wc), where Z_e is the measured relative pose of
+edge (i, j).  TPU design: edges are a flat fixed-capacity list; the 6x6
+Jacobian blocks are built batched with an analytic right-Jacobian
+approximation; H assembly is segment-sums into a dense (6P, 6P) system
+solved by Cholesky — for SLAM-scale P (hundreds) dense beats sparse on MXU
+hardware, same reasoning as models/backend/ba.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from jetracer_orbslam2_tpu.config import PoseGraphConfig
+from jetracer_orbslam2_tpu.ops import geometry as geo
+
+Array = jax.Array
+
+
+class PoseGraphProblem(NamedTuple):
+    poses: Array      # (P, 4, 4) T_wc initial keyframe poses
+    edge_i: Array     # (E,) int32 from-node
+    edge_j: Array     # (E,) int32 to-node
+    edge_T: Array     # (E, 4, 4) measured T_ij (pose of j in frame i)
+    edge_weight: Array  # (E,) float32 information weight (0 = invalid)
+    fixed: Array      # (P,) bool gauge anchors
+
+
+def _edge_residual(Ti, Tj, Zij):
+    """r = log(Z^-1 · Ti^-1 · Tj) in se(3), (6,)."""
+    return geo.se3_log(geo.pose_inverse(Zij) @ geo.pose_inverse(Ti) @ Tj)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def optimize_pose_graph(
+    prob: PoseGraphProblem, cfg: PoseGraphConfig,
+) -> tuple[Array, Array]:
+    """Damped Gauss-Newton.  Returns (poses T_wc, cost trace).
+
+    Jacobians use the standard small-residual approximation
+    J_j = I, J_i = -Ad(T_j^-1 T_i)  (right perturbation on nodes:
+    T <- T · exp(xi)), exact at convergence — the classic g2o/SE-Sync
+    linearization.
+    """
+    P = prob.poses.shape[0]
+    E = prob.edge_i.shape[0]
+    w = prob.edge_weight
+    free = (~prob.fixed).astype(jnp.float32)
+
+    def adjoint(T):
+        R = T[:3, :3]
+        t = T[:3, 3]
+        top = jnp.concatenate([R, geo.hat(t) @ R], axis=1)
+        bot = jnp.concatenate([jnp.zeros((3, 3), T.dtype), R], axis=1)
+        return jnp.concatenate([top, bot], axis=0)   # (6, 6)
+
+    def build(poses):
+        Ti = poses[prob.edge_i]
+        Tj = poses[prob.edge_j]
+        r = jax.vmap(_edge_residual)(Ti, Tj, prob.edge_T)       # (E, 6)
+        cost = jnp.sum(jnp.sum(r * r, -1) * w)
+        # J wrt right-perturbation of node j is ~I; of node i is -Ad(Tj^-1 Ti)
+        Ad = jax.vmap(adjoint)(jax.vmap(geo.pose_inverse)(Tj) @ Ti)  # (E,6,6)
+        Jj = jnp.broadcast_to(jnp.eye(6, dtype=r.dtype), (E, 6, 6))
+        Ji = -Ad
+        return r, Ji, Jj, cost
+
+    def gn_step(carry, _):
+        poses, lam, _ = carry
+        r, Ji, Jj, cost = build(poses)
+        wr = r * w[:, None]
+        # block H assembly via segment sums over the 4 block positions
+        Hii = jax.ops.segment_sum(
+            w[:, None, None] * jnp.einsum("eki,ekj->eij", Ji, Ji),
+            prob.edge_i, num_segments=P)
+        Hjj = jax.ops.segment_sum(
+            w[:, None, None] * jnp.einsum("eki,ekj->eij", Jj, Jj),
+            prob.edge_j, num_segments=P)
+        bi = jax.ops.segment_sum(
+            -jnp.einsum("eki,ek->ei", Ji, wr), prob.edge_i, num_segments=P)
+        bj = jax.ops.segment_sum(
+            -jnp.einsum("eki,ek->ei", Jj, wr), prob.edge_j, num_segments=P)
+        Hij = w[:, None, None] * jnp.einsum("eki,ekj->eij", Ji, Jj)  # (E,6,6)
+
+        H = jnp.zeros((P, 6, P, 6), r.dtype)
+        H = H.at[jnp.arange(P), :, jnp.arange(P), :].add(Hii + Hjj)
+        H = H.at[prob.edge_i, :, prob.edge_j, :].add(Hij)
+        H = H.at[prob.edge_j, :, prob.edge_i, :].add(
+            jnp.swapaxes(Hij, 1, 2))
+        H = H.reshape(6 * P, 6 * P)
+        b = (bi + bj).reshape(-1)
+
+        # damping + gauge
+        free6 = jnp.repeat(free, 6)
+        H = H + lam * jnp.eye(6 * P, dtype=H.dtype)
+        H = H * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
+        b = b * free6
+        c, low = jax.scipy.linalg.cho_factor(H)
+        dx = jax.scipy.linalg.cho_solve((c, low), b).reshape(P, 6)
+        new_poses = jnp.einsum(
+            "pij,pjk->pik", poses, jax.vmap(geo.se3_exp)(dx))
+        _, _, _, cost1 = build(new_poses)
+        accept = cost1 < cost
+        poses = jnp.where(accept, new_poses, poses)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        return (poses, lam, jnp.where(accept, cost1, cost)), cost
+
+    (poses, _, cost_fin), trace = jax.lax.scan(
+        gn_step, (prob.poses, jnp.float32(cfg.damping), jnp.float32(0.0)),
+        None, length=cfg.iters)
+    return poses, jnp.concatenate([trace, cost_fin[None]])

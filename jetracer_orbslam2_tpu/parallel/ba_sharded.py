@@ -50,6 +50,8 @@ class ShardedBAProblem(NamedTuple):
     obs_kf: Array      # (E_pad,) int32 sharded
     obs_lm: Array      # (E_pad,) int32 LOCAL landmark index, sharded
     obs_uv: Array      # (E_pad, 2) sharded
+    obs_z: Array       # (E_pad,) sharded depth measurements
+    obs_z_valid: Array  # (E_pad,) bool sharded
     obs_valid: Array   # (E_pad,) bool sharded
     fixed: Array       # (P,) bool replicated
     lm_valid: Array    # (L_pad,) bool sharded (False for padding)
@@ -76,14 +78,20 @@ def prepare_sharded_problem(
     obs_kf_s = np.zeros((n_devices, Eb), np.int32)
     obs_lm_s = np.zeros((n_devices, Eb), np.int32)
     obs_uv_s = np.zeros((n_devices, Eb, 2), np.float32)
+    obs_z_s = np.zeros((n_devices, Eb), np.float32)
+    obs_zok_s = np.zeros((n_devices, Eb), bool)
     obs_ok_s = np.zeros((n_devices, Eb), bool)
     kf_np = np.asarray(prob.obs_kf)
     uv_np = np.asarray(prob.obs_uv)
+    z_np = np.asarray(prob.obs_z)
+    zok_np = np.asarray(prob.obs_z_valid)
     for d, idx in enumerate(per_shard):
         n = len(idx)
         obs_kf_s[d, :n] = kf_np[idx]
         obs_lm_s[d, :n] = obs_lm[idx] - d * Lb   # local index
         obs_uv_s[d, :n] = uv_np[idx]
+        obs_z_s[d, :n] = z_np[idx]
+        obs_zok_s[d, :n] = zok_np[idx]
         obs_ok_s[d, :n] = True
 
     pts = np.zeros((L_pad, 3), np.float32)
@@ -97,6 +105,8 @@ def prepare_sharded_problem(
         obs_kf=jnp.asarray(obs_kf_s.reshape(-1)),
         obs_lm=jnp.asarray(obs_lm_s.reshape(-1)),
         obs_uv=jnp.asarray(obs_uv_s.reshape(-1, 2)),
+        obs_z=jnp.asarray(obs_z_s.reshape(-1)),
+        obs_z_valid=jnp.asarray(obs_zok_s.reshape(-1)),
         obs_valid=jnp.asarray(obs_ok_s.reshape(-1)),
         fixed=prob.fixed,
         lm_valid=jnp.asarray(lm_valid),
@@ -104,11 +114,13 @@ def prepare_sharded_problem(
 
 
 def _local_normal_eq(poses_cw, points_l, obs_kf, obs_lm_local, obs_uv,
-                     w_valid, intrinsics, huber_delta, P_num):
+                     obs_z, obs_z_valid, w_valid, intrinsics, huber_delta,
+                     P_num):
     """Per-shard normal equations over LOCAL landmarks; partials for psum."""
     L_local = points_l.shape[0]
     r, Jp, Jl, z = ba_core._residuals_and_jacobians(
-        poses_cw, points_l, obs_kf, obs_lm_local, obs_uv, intrinsics)
+        poses_cw, points_l, obs_kf, obs_lm_local, obs_uv, obs_z,
+        obs_z_valid, intrinsics)
     w_valid = w_valid * (z > 1e-3)
     cost = ba_core.robust_cost(r, w_valid, huber_delta)
     w = ba_core._huber_weight(r, huber_delta) * w_valid
@@ -149,8 +161,8 @@ def sharded_bundle_adjust(
     rep = P()
     shd = P(axis)
 
-    def step_all(poses, points, obs_kf, obs_lm, obs_uv, obs_valid,
-                 fixed, lm_valid, intr):
+    def step_all(poses, points, obs_kf, obs_lm, obs_uv, obs_z, obs_z_valid,
+                 obs_valid, fixed, lm_valid, intr):
         """Full LM run under shard_map.  Sharded args arrive as the local
         block; replicated args arrive whole."""
         poses_cw = jax.vmap(geo.pose_inverse)(poses)
@@ -162,8 +174,8 @@ def sharded_bundle_adjust(
 
         def nle(poses_cw, points):
             Hpp_p, Hll, G, bp_p, bl, cost_p = _local_normal_eq(
-                poses_cw, points, obs_kf, obs_lm, obs_uv, w_valid,
-                intr, huber, P_num)
+                poses_cw, points, obs_kf, obs_lm, obs_uv, obs_z,
+                obs_z_valid, w_valid, intr, huber, P_num)
             Hpp = jax.lax.psum(Hpp_p, axis)
             bp = jax.lax.psum(bp_p, axis)
             cost = jax.lax.psum(cost_p, axis)
@@ -171,7 +183,8 @@ def sharded_bundle_adjust(
 
         def cost_only(poses_cw, points):
             r, _, _, z = ba_core._residuals_and_jacobians(
-                poses_cw, points, obs_kf, obs_lm, obs_uv, intr)
+                poses_cw, points, obs_kf, obs_lm, obs_uv, obs_z,
+                obs_z_valid, intr)
             return jax.lax.psum(
                 ba_core.robust_cost(r, w_valid * (z > 1e-3), huber), axis)
 
@@ -227,10 +240,10 @@ def sharded_bundle_adjust(
 
     smapped = jax.shard_map(
         step_all, mesh=mesh,
-        in_specs=(rep, shd, shd, shd, shd, shd, rep, shd, rep),
+        in_specs=(rep, shd, shd, shd, shd, shd, shd, shd, rep, shd, rep),
         out_specs=(rep, shd, rep),
     )
     return jax.jit(smapped)(
         sprob.poses, sprob.points, sprob.obs_kf, sprob.obs_lm,
-        sprob.obs_uv, sprob.obs_valid, sprob.fixed, sprob.lm_valid,
-        intrinsics)
+        sprob.obs_uv, sprob.obs_z, sprob.obs_z_valid, sprob.obs_valid,
+        sprob.fixed, sprob.lm_valid, intrinsics)

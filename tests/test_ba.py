@@ -57,7 +57,9 @@ def make_problem(rng, P=6, L=200, noise_px=0.5, pose_noise=0.03,
 
     fixed = np.zeros(P, bool)
     fixed[0] = True
-    prob = BAProblem(
+    # pure reprojection problem (no depth residuals): exercises the mono
+    # path; depth-anchored behavior is covered in test_ba_depth_residuals
+    prob = BAProblem.without_depth(
         poses=jnp.asarray(poses0),
         points=jnp.asarray(pts0),
         obs_kf=jnp.asarray(obs_kf, jnp.int32),
@@ -102,6 +104,28 @@ def test_ba_respects_gauge():
     prob, poses_gt, _ = make_problem(rng)
     poses, _, _ = bundle_adjust(prob, INTR, BAConfig(iters=5))
     np.testing.assert_allclose(np.asarray(poses)[0], poses_gt[0], atol=1e-6)
+
+
+def test_ba_depth_residuals_anchor_scale():
+    """With depth measurements, ONE fixed pose suffices: the scale gauge
+    that plagues reprojection-only BA (see test_ba_noise_free_exact) is
+    pinned by the z residuals."""
+    rng = np.random.default_rng(5)
+    prob, poses_gt, pts_gt = make_problem(rng, noise_px=0.0)
+    # attach perfect depth measurements from GT geometry
+    Tcw = np.linalg.inv(poses_gt)
+    pc = np.einsum("eij,ej->ei",
+                   Tcw[np.asarray(prob.obs_kf)][:, :3, :3],
+                   pts_gt[np.asarray(prob.obs_lm)]) \
+        + Tcw[np.asarray(prob.obs_kf)][:, :3, 3]
+    prob = prob._replace(
+        obs_z=jnp.asarray(pc[:, 2].astype(np.float32)),
+        obs_z_valid=jnp.ones(prob.obs_kf.shape[0], bool))
+    poses, points, stats = bundle_adjust(prob, INTR, BAConfig(iters=15))
+    err = np.linalg.norm(np.asarray(poses)[:, :3, 3] - poses_gt[:, :3, 3],
+                         axis=1)
+    assert err.max() < 1e-3, err
+    assert float(stats.cost[-1]) < 1e-3
 
 
 def test_ba_invalid_obs_ignored():
