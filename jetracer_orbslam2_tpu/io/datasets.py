@@ -1,0 +1,298 @@
+"""Dataset loaders: TUM RGB-D, EuRoC MAV stereo, KITTI odometry.
+
+The reference's only dataset notion is dumping raw camera frames to disk
+(reference src/RealSense/SaveRawData.cpp:115-140); replaying standard SLAM
+benchmarks replaces it (SURVEY.md §3.5, §7.1 item 1).  All loaders present
+one interface: an object with
+
+    __len__
+    frame(i)     -> Frame (numpy arrays, HxW float32 gray in [0,255],
+                    HxW float32 depth in meters or None, optional right img)
+    groundtruth  -> (N, 4, 4) float32 T_wc or None
+    intrinsics   -> (4,) fx fy cx cy
+    baseline     -> float (stereo) or 0.0
+
+Decoding stays on host (PNG via PIL; see native/ for the C++ fast path);
+prefetch-to-device pipelining lives in runtime/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Frame:
+    gray: np.ndarray                  # (H, W) float32 [0, 255]
+    depth: Optional[np.ndarray]       # (H, W) float32 meters, or None
+    right: Optional[np.ndarray]       # (H, W) float32 right image (stereo)
+    timestamp: float
+    index: int
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode not in ("L", "I;16", "I"):
+        img = img.convert("L")
+    arr = np.asarray(img)
+    if arr.dtype == np.uint16:
+        raise ValueError(f"{path}: 16-bit image where 8-bit expected")
+    return arr.astype(np.float32)
+
+
+def _imread_rgb_as_gray(path: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode == "L":
+        return np.asarray(img).astype(np.float32)
+    rgb = np.asarray(img.convert("RGB")).astype(np.float32)
+    # reference weights: B*0.07 + G*0.72 + R*0.21
+    # (src/cuda/cuda_RGB_to_Grayscale.cu:10-33) — matched by ops/preprocess
+    return rgb[..., 0] * 0.21 + rgb[..., 1] * 0.72 + rgb[..., 2] * 0.07
+
+
+def _imread_depth16(path: str, scale: float) -> np.ndarray:
+    from PIL import Image
+
+    arr = np.asarray(Image.open(path))
+    return arr.astype(np.float32) * scale
+
+
+def _associate(ts_a: np.ndarray, ts_b: np.ndarray, max_dt: float):
+    """Nearest-timestamp association a->b (TUM tooling convention)."""
+    out = []
+    for i, t in enumerate(ts_a):
+        j = int(np.argmin(np.abs(ts_b - t)))
+        if abs(ts_b[j] - t) <= max_dt:
+            out.append((i, j))
+    return out
+
+
+class TumRGBD:
+    """TUM RGB-D directory: rgb.txt / depth.txt / groundtruth.txt +
+    rgb/*.png (8-bit) + depth/*.png (16-bit, 1/5000 m)."""
+
+    def __init__(self, root: str, max_dt: float = 0.02,
+                 depth_scale: float = 1.0 / 5000.0):
+        self.root = root
+        self.depth_scale = depth_scale
+        rgb = self._read_list(os.path.join(root, "rgb.txt"))
+        dep = self._read_list(os.path.join(root, "depth.txt"))
+        pairs = _associate(
+            np.asarray([t for t, _ in rgb]),
+            np.asarray([t for t, _ in dep]), max_dt)
+        self.items = [
+            (rgb[i][0], rgb[i][1], dep[j][1]) for i, j in pairs]
+        self.gt = self._read_groundtruth(
+            os.path.join(root, "groundtruth.txt"),
+            np.asarray([t for t, _, _ in self.items]))
+        self.intrinsics = np.asarray(
+            [525.0, 525.0, 319.5, 239.5], np.float32)
+        self.baseline = 0.0
+
+    @staticmethod
+    def _read_list(path):
+        out = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                ts, rel = line.split()[:2]
+                out.append((float(ts), rel))
+        return out
+
+    def _read_groundtruth(self, path, ts):
+        if not os.path.exists(path):
+            return None
+        rows = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                rows.append([float(x) for x in line.split()])
+        rows = np.asarray(rows)
+        poses = []
+        for t in ts:
+            r = rows[np.argmin(np.abs(rows[:, 0] - t))]
+            tx, ty, tz, qx, qy, qz, qw = r[1:8]
+            poses.append(_pose_from_quat(tx, ty, tz, qx, qy, qz, qw))
+        return np.stack(poses).astype(np.float32)
+
+    def __len__(self):
+        return len(self.items)
+
+    def frame(self, i: int) -> Frame:
+        ts, rgb_rel, dep_rel = self.items[i]
+        return Frame(
+            gray=_imread_rgb_as_gray(os.path.join(self.root, rgb_rel)),
+            depth=_imread_depth16(
+                os.path.join(self.root, dep_rel), self.depth_scale),
+            right=None, timestamp=ts, index=i)
+
+    @property
+    def groundtruth(self):
+        return self.gt
+
+
+class EurocStereo:
+    """EuRoC MAV mav0/ layout: cam0/data.csv + cam0/data/*.png (+cam1).
+
+    Images are expected rectified (standard preprocessing); intrinsics
+    default to the EuRoC cam0 rectified model.
+    """
+
+    def __init__(self, root: str,
+                 intrinsics=(435.2046, 435.2046, 367.4517, 252.2008),
+                 baseline: float = 0.110074):
+        self.root = root
+        self.left = self._read_csv(os.path.join(root, "cam0", "data.csv"))
+        self.right = self._read_csv(os.path.join(root, "cam1", "data.csv"))
+        rts = np.asarray([t for t, _ in self.right])
+        self.pairs = []
+        for t, name in self.left:
+            j = int(np.argmin(np.abs(rts - t)))
+            if abs(rts[j] - t) < 0.005:
+                self.pairs.append((t, name, self.right[j][1]))
+        self.intrinsics = np.asarray(intrinsics, np.float32)
+        self.baseline = baseline
+        self.gt = self._read_groundtruth(
+            os.path.join(root, "state_groundtruth_estimate0", "data.csv"),
+            np.asarray([t for t, _, _ in self.pairs]))
+
+    @staticmethod
+    def _read_csv(path):
+        out = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                ts_ns, name = line.split(",")[:2]
+                out.append((int(ts_ns) * 1e-9, name.strip()))
+        return out
+
+    def _read_groundtruth(self, path, ts):
+        if not os.path.exists(path):
+            return None
+        rows = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                v = [float(x) for x in line.split(",")[:8]]
+                rows.append(v)
+        rows = np.asarray(rows)
+        rows[:, 0] *= 1e-9
+        poses = []
+        for t in ts:
+            r = rows[np.argmin(np.abs(rows[:, 0] - t))]
+            tx, ty, tz, qw, qx, qy, qz = r[1:8]   # EuRoC: w first
+            poses.append(_pose_from_quat(tx, ty, tz, qx, qy, qz, qw))
+        return np.stack(poses).astype(np.float32)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def frame(self, i: int) -> Frame:
+        ts, lname, rname = self.pairs[i]
+        return Frame(
+            gray=_imread_gray(
+                os.path.join(self.root, "cam0", "data", lname)),
+            depth=None,
+            right=_imread_gray(
+                os.path.join(self.root, "cam1", "data", rname)),
+            timestamp=ts, index=i)
+
+    @property
+    def groundtruth(self):
+        return self.gt
+
+
+class KittiOdometry:
+    """KITTI odometry sequence dir: image_0/, image_1/, times.txt,
+    calib.txt (P0/P1 projection rows); poses optionally at poses.txt."""
+
+    def __init__(self, root: str):
+        self.root = root
+        with open(os.path.join(root, "times.txt")) as f:
+            self.times = [float(x) for x in f.read().split()]
+        self.intrinsics, self.baseline = self._read_calib(
+            os.path.join(root, "calib.txt"))
+        self.gt = self._read_poses(os.path.join(root, "poses.txt"))
+
+    @staticmethod
+    def _read_calib(path):
+        p = {}
+        with open(path) as f:
+            for line in f:
+                if ":" in line:
+                    k, v = line.split(":", 1)
+                    p[k.strip()] = np.asarray(
+                        [float(x) for x in v.split()]).reshape(3, 4)
+        P0, P1 = p["P0"], p["P1"]
+        fx, fy, cx, cy = P0[0, 0], P0[1, 1], P0[0, 2], P0[1, 2]
+        baseline = -(P1[0, 3] - P0[0, 3]) / fx
+        return np.asarray([fx, fy, cx, cy], np.float32), float(baseline)
+
+    @staticmethod
+    def _read_poses(path):
+        if not os.path.exists(path):
+            return None
+        rows = np.loadtxt(path).reshape(-1, 3, 4)
+        n = rows.shape[0]
+        out = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        out[:, :3, :] = rows
+        return out
+
+    def __len__(self):
+        return len(self.times)
+
+    def frame(self, i: int) -> Frame:
+        name = f"{i:06d}.png"
+        return Frame(
+            gray=_imread_gray(os.path.join(self.root, "image_0", name)),
+            depth=None,
+            right=_imread_gray(os.path.join(self.root, "image_1", name)),
+            timestamp=self.times[i], index=i)
+
+    @property
+    def groundtruth(self):
+        return self.gt
+
+
+def _pose_from_quat(tx, ty, tz, qx, qy, qz, qw):
+    n = np.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+    qx, qy, qz, qw = qx / n, qy / n, qz / n, qw / n
+    R = np.asarray([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+         2 * (qx * qz + qy * qw)],
+        [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qx * qw)],
+        [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+         1 - 2 * (qx * qx + qy * qy)],
+    ])
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = (tx, ty, tz)
+    return T
+
+
+def open_dataset(path: str):
+    """Sniff the directory layout and return the right loader."""
+    if os.path.exists(os.path.join(path, "rgb.txt")):
+        return TumRGBD(path)
+    if os.path.exists(os.path.join(path, "cam0", "data.csv")):
+        return EurocStereo(path)
+    if os.path.exists(os.path.join(path, "times.txt")):
+        return KittiOdometry(path)
+    raise ValueError(f"unrecognized dataset layout at {path}")

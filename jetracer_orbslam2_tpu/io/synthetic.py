@@ -133,6 +133,40 @@ def smooth_trajectory(n_frames: int, step: float = 0.02, yaw_rate: float = 0.004
     return geo.pose_from_rt(R, t)
 
 
+class SyntheticStereoSequence(NamedTuple):
+    left: Array     # (N, H, W)
+    right: Array    # (N, H, W)
+    depth: Array    # (N, H, W) left-camera ground-truth depth
+    poses: Array    # (N, 4, 4) T_wc of the LEFT camera
+    intrinsics: Array
+    baseline: float
+
+
+def generate_stereo_sequence(
+    n_frames: int = 10,
+    shape: tuple = (480, 640),
+    seed: int = 0,
+    step: float = 0.02,
+    yaw_rate: float = 0.004,
+    baseline: float = 0.11,
+) -> SyntheticStereoSequence:
+    """Rectified stereo pairs: right camera = left shifted by `baseline`
+    along the camera +x axis (EuRoC/KITTI geometry)."""
+    h, w = shape
+    intr = jnp.asarray(
+        [0.9 * w, 0.9 * w, (w - 1) / 2.0, (h - 1) / 2.0], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(_PLANES))
+    textures = jnp.stack([make_texture(k) for k in keys])
+    poses = smooth_trajectory(n_frames, step, yaw_rate)
+    shift = jnp.eye(4).at[0, 3].set(baseline)
+    render = jax.vmap(lambda T: render_frame(T, intr, textures, shape))
+    left, depth = render(poses)
+    right, _ = render(poses @ shift)
+    return SyntheticStereoSequence(
+        left=left, right=right, depth=depth, poses=poses,
+        intrinsics=intr, baseline=baseline)
+
+
 def generate_sequence(
     n_frames: int = 30,
     shape: tuple = (480, 640),

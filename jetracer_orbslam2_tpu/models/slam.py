@@ -222,7 +222,11 @@ class Slam:
     def process_frame(self, gray, depth) -> FrameReport | None:
         """Feed one RGB-D frame.  Returns the per-frame report (None for
         the very first frame, which only bootstraps)."""
-        feats = self._features(gray, depth)
+        return self.process_features(self._features(gray, depth))
+
+    def process_features(self, feats: Features) -> FrameReport | None:
+        """Feed one already-extracted feature set (RGB-D or stereo path —
+        models/stereo.frontend_stereo produces the same structure)."""
         if self.prev is None:
             self.prev = feats
             self.trajectory.append(np.asarray(self.T_wc))
