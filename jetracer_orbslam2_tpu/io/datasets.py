@@ -34,34 +34,61 @@ class Frame:
     index: int
 
 
+def _read_png(path: str) -> Optional[np.ndarray]:
+    """Native C++ decode when built (native/libjetracer_native.so);
+    None -> caller falls back to PIL."""
+    from jetracer_orbslam2_tpu.io import native_loader
+
+    if not native_loader.available():
+        return None
+    try:
+        return native_loader.decode_png_file(path)
+    except ValueError:
+        return None          # unsupported PNG variant -> PIL fallback
+
+
+def _to_gray(arr: np.ndarray) -> np.ndarray:
+    if arr.ndim == 2:
+        return arr.astype(np.float32)
+    # reference weights: B*0.07 + G*0.72 + R*0.21
+    # (src/cuda/cuda_RGB_to_Grayscale.cu:10-33) — matched by ops/preprocess
+    a = arr.astype(np.float32)
+    return a[..., 0] * 0.21 + a[..., 1] * 0.72 + a[..., 2] * 0.07
+
+
 def _imread_gray(path: str) -> np.ndarray:
+    arr = _read_png(path)
+    if arr is not None:
+        return _to_gray(arr)
     from PIL import Image
 
     img = Image.open(path)
     if img.mode not in ("L", "I;16", "I"):
         img = img.convert("L")
-    arr = np.asarray(img)
-    if arr.dtype == np.uint16:
+    out = np.asarray(img)
+    if out.dtype == np.uint16:
         raise ValueError(f"{path}: 16-bit image where 8-bit expected")
-    return arr.astype(np.float32)
+    return out.astype(np.float32)
 
 
 def _imread_rgb_as_gray(path: str) -> np.ndarray:
+    arr = _read_png(path)
+    if arr is not None:
+        return _to_gray(arr)
     from PIL import Image
 
     img = Image.open(path)
     if img.mode == "L":
         return np.asarray(img).astype(np.float32)
-    rgb = np.asarray(img.convert("RGB")).astype(np.float32)
-    # reference weights: B*0.07 + G*0.72 + R*0.21
-    # (src/cuda/cuda_RGB_to_Grayscale.cu:10-33) — matched by ops/preprocess
-    return rgb[..., 0] * 0.21 + rgb[..., 1] * 0.72 + rgb[..., 2] * 0.07
+    return _to_gray(np.asarray(img.convert("RGB")))
 
 
 def _imread_depth16(path: str, scale: float) -> np.ndarray:
-    from PIL import Image
+    arr = _read_png(path)
+    if arr is None:
+        from PIL import Image
 
-    arr = np.asarray(Image.open(path))
+        arr = np.asarray(Image.open(path))
     return arr.astype(np.float32) * scale
 
 
