@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from jetracer_orbslam2_tpu.config import FrontendConfig
-from jetracer_orbslam2_tpu.ops import align, fast, nms, orb, patches, preprocess
+from jetracer_orbslam2_tpu.ops import (
+    align, fast, nms, orb, pallas_fast, patches, preprocess)
 from jetracer_orbslam2_tpu.ops.nms import Keypoints
 
 Array = jax.Array
@@ -52,10 +53,18 @@ def extract_features(
     levels = preprocess.build_pyramid(blurred, cfg.num_levels)
     winners = []
     for img in levels:
-        resp = fast.fast_score_map(
-            img, cfg.fast_threshold, cfg.fast_arc_length, cfg.fast_border
-        )
-        winners.append(nms.grid_nms(resp, cfg.cell_size))
+        # trace-time dispatch: fused VMEM-resident Pallas kernel on TPU
+        # (bit-exact vs the XLA path — see tests/test_pallas_fast.py)
+        if pallas_fast.use_pallas(img.shape):
+            resp = pallas_fast.fast_nms_response(
+                img, cfg.fast_threshold, cfg.fast_arc_length, cfg.fast_border
+            )
+            winners.append(nms.grid_nms(resp, cfg.cell_size, suppress=False))
+        else:
+            resp = fast.fast_score_map(
+                img, cfg.fast_threshold, cfg.fast_arc_length, cfg.fast_border
+            )
+            winners.append(nms.grid_nms(resp, cfg.cell_size))
     kp = nms.select_keypoints(
         winners, cfg.level_shapes, cfg.max_keypoints, cfg.min_score, cfg.fast_border
     )

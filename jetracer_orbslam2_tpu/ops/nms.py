@@ -59,14 +59,17 @@ def local_max_3x3(resp: Array) -> Array:
     return jnp.where(resp >= neighborhood, resp, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cell_size",))
-def grid_nms(resp: Array, cell_size: int) -> CellWinners:
+@functools.partial(jax.jit, static_argnames=("cell_size", "suppress"))
+def grid_nms(resp: Array, cell_size: int, suppress: bool = True) -> CellWinners:
     """One winner per cell_size x cell_size cell of a response map.
 
     resp: (H, W) float32, zeros at non-corners. Returns flat (C,) winner SoA
-    where C = ceil(H/cell) * ceil(W/cell).
+    where C = ceil(H/cell) * ceil(W/cell).  Pass suppress=False when the
+    response map is already 3x3-suppressed (the fused Pallas FAST kernel,
+    ops/pallas_fast.py, does it in-kernel).
     """
-    resp = local_max_3x3(resp)
+    if suppress:
+        resp = local_max_3x3(resp)
     h, w = resp.shape
     rows = -(-h // cell_size)
     cols = -(-w // cell_size)

@@ -89,6 +89,43 @@ def orientation(patches: Array, disc_radius: int = 15) -> Array:
     return jnp.arctan2(m01, m10)
 
 
+@functools.lru_cache(maxsize=None)
+def _pair_diff_matrix(
+    num_bits: int, patch_size: int, num_angle_bins: int
+) -> np.ndarray:
+    """(num_angle_bins, P*P, num_bits) float32 with +1 at point-1's pixel and
+    -1 at point-2's pixel of each pair, per rotation bin.
+
+    Turns the BRIEF comparison I(p1) < I(p2) into the sign of a matmul:
+    d[b] = flat_patches @ D[b]; bit = d < 0 is bit-identical to the gather
+    formulation (the rounded f32 difference of two f32 pixel values has the
+    sign of the exact difference).  This is the TPU-native move: K x P^2 x N
+    pair tests become one MXU contraction instead of 2*K*N serial gathers
+    (the reference walks the pattern per keypoint per thread,
+    src/cuda/orb.cu:17-75).
+    """
+    idx = rotated_pattern_indices(num_bits, patch_size, num_angle_bins)
+    pp = patch_size * patch_size
+    d = np.zeros((num_angle_bins, pp, num_bits), dtype=np.float32)
+    b_ix = np.arange(num_angle_bins)[:, None]
+    n_ix = np.arange(num_bits)[None, :]
+    # accumulate so idx1 == idx2 nets to 0 (bit 0, same as v1 < v1 == False)
+    np.add.at(d, (b_ix, idx[:, 0, :], n_ix), 1.0)
+    np.add.at(d, (b_ix, idx[:, 1, :], n_ix), -1.0)
+    return d
+
+
+def angle_bins(angles: Array, num_angle_bins: int) -> Array:
+    """Quantize angles [rad] to rotation-bin indices (K,) int32."""
+    two_pi = 2.0 * jnp.pi
+    frac = (angles % two_pi) / two_pi
+    return jnp.clip(
+        jnp.round(frac * num_angle_bins).astype(jnp.int32) % num_angle_bins,
+        0,
+        num_angle_bins - 1,
+    )
+
+
 def describe(
     patches: Array,
     angles: Array,
@@ -97,26 +134,23 @@ def describe(
 ) -> Array:
     """Rotated BRIEF: (K, P, P) patches + (K,) angles -> (K, num_bits/32) uint32.
 
-    Smooths patches with a 3x3-ish blur implicit in pyramid construction; the
-    comparison is I(p1) < I(p2) on rotated pattern points (nearest-neighbor
-    sampling via precomputed integer indices).
+    The comparison I(p1) < I(p2) on rotated pattern points is evaluated for
+    ALL rotation bins as one batched MXU matmul against a precomputed +/-1
+    pair-difference matrix, then each keypoint's own bin is selected with a
+    one-hot contraction — zero gathers, fully dense (see _pair_diff_matrix).
     """
     k, p, _ = patches.shape
-    table = jnp.asarray(
-        rotated_pattern_indices(num_bits, p, num_angle_bins)
-    )  # (B, 2, N)
-    two_pi = 2.0 * jnp.pi
-    frac = (angles % two_pi) / two_pi
-    bins = jnp.clip(
-        jnp.round(frac * num_angle_bins).astype(jnp.int32) % num_angle_bins,
-        0,
-        num_angle_bins - 1,
-    )
-    idx = table[bins]                       # (K, 2, N)
+    dmat = jnp.asarray(_pair_diff_matrix(num_bits, p, num_angle_bins))
+    bins = angle_bins(angles, num_angle_bins)
     flat = patches.reshape(k, p * p)
-    v1 = jnp.take_along_axis(flat, idx[:, 0, :], axis=1)
-    v2 = jnp.take_along_axis(flat, idx[:, 1, :], axis=1)
-    bits = (v1 < v2).astype(jnp.uint32)     # (K, N)
+    # (K, P^2) x (B, P^2, N) -> (B, K, N) pair differences, on the MXU
+    d_all = jnp.einsum(
+        "kp,bpn->bkn", flat, dmat, preferred_element_type=jnp.float32
+    )
+    onehot = jax.nn.one_hot(bins, num_angle_bins, dtype=jnp.float32)  # (K, B)
+    d = jnp.einsum("bkn,kb->kn", d_all, onehot,
+                   preferred_element_type=jnp.float32)
+    bits = (d < 0).astype(jnp.uint32)       # (K, N)
     words = bits.reshape(k, num_bits // 32, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     return jnp.sum(words * weights, axis=-1, dtype=jnp.uint32)
