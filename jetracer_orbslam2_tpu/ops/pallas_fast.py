@@ -9,13 +9,12 @@ ops/fast.py materializes a (16, H, W) ring stack in HBM; this kernel keeps
 the whole image resident in VMEM and accumulates the ring test into two
 int32 *bitmasks* per pixel:
 
-- a `fori_loop` over the 16 Bresenham offsets (each offset a `lax.switch`
-  branch holding its static circular roll — static `tpu.rotate` works on
-  lane-unaligned widths where `tpu.dynamic_rotate` does not) does one
-  vector roll, one compare, `mask |= bit << i` and a masked score
-  accumulate per offset — the loop body's buffers are reused across
-  iterations, so the VMEM working set stays at ~10 (H, W) buffers instead
-  of a 16-deep unrolled stack (which blows the 16 MB scoped-VMEM stack);
+- an unrolled walk over the 16 Bresenham offsets (static circular rolls —
+  static `tpu.rotate` works on lane-unaligned widths where
+  `tpu.dynamic_rotate` does not) does one vector roll, one compare,
+  `mask |= bit << i` and a masked score accumulate per offset, written
+  into VMEM scratch refs so each iteration's temporaries die at the
+  store and the working set stays ~6 (H, W) buffers;
 - the "contiguous arc >= L" test becomes run-length doubling on the 16-bit
   masks via rotate-AND (`rot16`), i.e. O(log 16) elementwise int ops — the
   TPU-native replacement for the reference's 64K LUT gather;
@@ -43,6 +42,10 @@ Array = jax.Array
 # with the 64 MB vmem_limit below, 800k pixels (~42 MB) leaves headroom.
 # Covers KITTI level 0 (1241x376); anything larger falls back to XLA.
 _MAX_PALLAS_PIXELS = 800_000
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def _rot16(m: Array, k) -> Array:
@@ -99,49 +102,52 @@ def _roll2(img: Array, dy: int, dx: int) -> Array:
     return out
 
 
-def _fast_nms_kernel(thr_ref, img_ref, out_ref, *, arc_length: int, border: int):
+def _fast_nms_kernel(
+    thr_ref, img_ref, out_ref, mask_ref, bs_ref, ds_ref,
+    *, arc_length: int, border: int, real_hw: tuple[int, int],
+):
     img = img_ref[:]
     t = thr_ref[0, 0]
-    h, w = img.shape
+    h, w = img.shape          # hardware-aligned (padded) shape
+    rh, rw = real_hw          # caller's image shape; rest is zero padding
 
-    branches = [
-        functools.partial(_roll2, dy=dy, dx=dx) for (dy, dx) in RING_OFFSETS
-    ]
-
-    def ring_body(i, carry):
-        # bright bits live in mask[0:16], dark bits in mask[16:32]: one
-        # int32 carry instead of two (every (H, W) buffer counts against
-        # the 16 MB scoped-VMEM stack)
-        mask, bscore, dscore = carry
-        rolled = jax.lax.switch(i, branches, img)
-        d = rolled - img
+    # Unrolled ring walk accumulating into VMEM *scratch refs*: each
+    # iteration's roll/compare temporaries die at the store, so the live
+    # set stays ~6 (H, W) buffers (an SSA-carried unroll keeps all 16
+    # rolls alive on the scoped-VMEM stack and OOMs).  Bright bits live in
+    # mask[0:16], dark bits in mask[16:32].
+    mask_ref[:] = jnp.zeros((h, w), jnp.int32)
+    bs_ref[:] = jnp.zeros((h, w), jnp.float32)
+    ds_ref[:] = jnp.zeros((h, w), jnp.float32)
+    for i, (dy, dx) in enumerate(RING_OFFSETS):
+        d = _roll2(img, dy, dx) - img
         bright = d > t
         dark = d < -t
-        bit = jnp.int32(1) << i
-        return (
-            mask | jnp.where(bright, bit, 0) | jnp.where(dark, bit << 16, 0),
-            bscore + jnp.where(bright, d - t, 0.0),
-            dscore + jnp.where(dark, -d - t, 0.0),
+        bit = jnp.int32(1 << i)
+        mask_ref[:] = (
+            mask_ref[:]
+            | jnp.where(bright, bit, 0)
+            | jnp.where(dark, bit << 16, 0)
         )
+        bs_ref[:] = bs_ref[:] + jnp.where(bright, d - t, 0.0)
+        ds_ref[:] = ds_ref[:] + jnp.where(dark, -d - t, 0.0)
 
-    zi = jnp.zeros((h, w), jnp.int32)
-    zf = jnp.zeros((h, w), jnp.float32)
-    mask, bscore, dscore = jax.lax.fori_loop(
-        0, len(RING_OFFSETS), ring_body, (zi, zf, zf)
-    )
-
+    mask = mask_ref[:]
     is_corner = _has_arc(mask & 0xFFFF, arc_length) | _has_arc(
         (mask >> 16) & 0xFFFF, arc_length
     )
-    score = jnp.where(is_corner, jnp.maximum(bscore, dscore), 0.0)
+    score = jnp.where(is_corner, jnp.maximum(bs_ref[:], ds_ref[:]), 0.0)
 
-    # zero the keep-out border with slice stores on the output ref (cheaper
-    # than two (H, W) iota buffers), then read back for the NMS pass
+    # zero the keep-out border (plus any alignment padding) with slice
+    # stores on the output ref (cheaper than two (H, W) iota buffers), then
+    # read back for the NMS pass.  The zeroed band is >= ring radius wide,
+    # so the circular rolls' wraparound only ever reads zeros here — which
+    # keeps this bit-exact vs the unpadded XLA formulation.
     out_ref[:] = score
     out_ref[:border, :] = jnp.zeros((border, w), jnp.float32)
-    out_ref[h - border:, :] = jnp.zeros((border, w), jnp.float32)
+    out_ref[rh - border:, :] = jnp.zeros((h - rh + border, w), jnp.float32)
     out_ref[:, :border] = jnp.zeros((h, border), jnp.float32)
-    out_ref[:, w - border:] = jnp.zeros((h, border), jnp.float32)
+    out_ref[:, rw - border:] = jnp.zeros((h, w - rw + border), jnp.float32)
     score = out_ref[:]
 
     # fused 3x3 non-max suppression, separable (max9 incl. self >= max8):
@@ -167,25 +173,41 @@ def fast_nms_response(
     in one VMEM-resident kernel pass.
     """
     h, w = img.shape
+    # hardware-aligned padded shape: (8, 128) f32 tiles.  Vector rotates on
+    # lane-unaligned widths mis-lower (observed at w=1241 on v5e), so the
+    # kernel always sees an aligned field; the pad is zero, falls entirely
+    # inside the zeroed keep-out band, and is cropped off below.
+    hp = _round_up(h, 8)
+    wp = _round_up(w, 128)
+    x = img.astype(jnp.float32)
+    if (hp, wp) != (h, w):
+        x = jnp.pad(x, ((0, hp - h), (0, wp - w)))
     thr = jnp.asarray(threshold, jnp.float32).reshape(1, 1)
     kernel = functools.partial(
-        _fast_nms_kernel, arc_length=arc_length, border=border
+        _fast_nms_kernel, arc_length=arc_length, border=border,
+        real_hw=(h, w),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.int32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             # the default 16 MB scoped-vmem stack undercounts Mosaic's
             # buffer reuse here; physical VMEM is far larger on v5e+
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(thr, img.astype(jnp.float32))
+    )(thr, x)
+    return out[:h, :w] if (hp, wp) != (h, w) else out
 
 
 def use_pallas(shape: tuple[int, int]) -> bool:
