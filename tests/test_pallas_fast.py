@@ -29,6 +29,16 @@ def test_bit_exact_vs_xla(arc_length):
     assert int((np.asarray(ref) > 0).sum()) > 0  # non-degenerate fixture
 
 
+@pytest.mark.parametrize("shape", [(52, 70), (41, 257)])
+def test_unaligned_shapes_pad_crop(shape):
+    # exercises the (8, 128)-alignment pad + crop path end to end
+    img = _image(shape, seed=7)
+    ref = nms.local_max_3x3(fast.fast_score_map(img, 13.0, 12, 3))
+    got = fast_nms_response(img, 13.0, 12, 3, interpret=True)
+    assert got.shape == shape
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_border_and_threshold():
     img = _image((48, 128), seed=3)
     ref = nms.local_max_3x3(fast.fast_score_map(img, 40.0, 12, 8))
