@@ -84,11 +84,18 @@ struct Loader {
                     if (rc != 0) status = rc;
                 }
             }
-            // claim the slot for this frame (in-order ring: slot = job % cap)
+            // claim the slot for this frame (in-order ring: slot = job % cap).
+            // The generation gate `job < next_out + capacity` is essential:
+            // jobs j and j+capacity share a slot, and without it the later
+            // job can win the empty-slot race — the consumer then waits for
+            // frame j forever while worker j waits for a slot that can never
+            // free (deadlock observed under scheduler skew).  Only the
+            // earliest pending job for the slot may fill it.
             Slot& s = slots[job % capacity];
             std::unique_lock<std::mutex> lk(mu);
             cv_free.wait(lk, [&] {
-                return stop.load() || s.status == 0;
+                return stop.load()
+                    || (s.status == 0 && job < next_out + capacity);
             });
             if (stop.load()) return;
             s.pixels.swap(pixels);
