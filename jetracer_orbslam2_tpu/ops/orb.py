@@ -84,35 +84,36 @@ def orientation(patches: Array, disc_radius: int = 15) -> Array:
     disc = (dx * dx + dy * dy) <= float(disc_radius * disc_radius)
     wx = jnp.where(disc, dx, 0.0)
     wy = jnp.where(disc, dy, 0.0)
-    m10 = jnp.einsum("kij,ij->k", patches, wx)
-    m01 = jnp.einsum("kij,ij->k", patches, wy)
+    # HIGHEST: bf16-rounded moments wobble angles near bin boundaries,
+    # making production descriptors diverge from the tested behavior.
+    m10 = jnp.einsum("kij,ij->k", patches, wx,
+                     precision=jax.lax.Precision.HIGHEST)
+    m01 = jnp.einsum("kij,ij->k", patches, wy,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.arctan2(m01, m10)
 
 
 @functools.lru_cache(maxsize=None)
-def _pair_diff_matrix(
+def _rot_row_col_tables(
     num_bits: int, patch_size: int, num_angle_bins: int
-) -> np.ndarray:
-    """(num_angle_bins, P*P, num_bits) float32 with +1 at point-1's pixel and
-    -1 at point-2's pixel of each pair, per rotation bin.
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-bin pattern-point selectors, factored by patch row and column.
 
-    Turns the BRIEF comparison I(p1) < I(p2) into the sign of a matmul:
-    d[b] = flat_patches @ D[b]; bit = d < 0 is bit-identical to the gather
-    formulation (the rounded f32 difference of two f32 pixel values has the
-    sign of the exact difference).  This is the TPU-native move: K x P^2 x N
-    pair tests become one MXU contraction instead of 2*K*N serial gathers
-    (the reference walks the pattern per keypoint per thread,
-    src/cuda/orb.cu:17-75).
+    Returns (row_onehot (B, 2N, P) float32, col_idx (B, 2N) int32): sample
+    j*N+n of bin b reads patch pixel (row where row_onehot is 1, col_idx).
+    Factoring the 2D pattern lookup into a row one-hot and a column index is
+    what makes per-keypoint-bin descriptor extraction dense (see describe).
     """
     idx = rotated_pattern_indices(num_bits, patch_size, num_angle_bins)
-    pp = patch_size * patch_size
-    d = np.zeros((num_angle_bins, pp, num_bits), dtype=np.float32)
-    b_ix = np.arange(num_angle_bins)[:, None]
-    n_ix = np.arange(num_bits)[None, :]
-    # accumulate so idx1 == idx2 nets to 0 (bit 0, same as v1 < v1 == False)
-    np.add.at(d, (b_ix, idx[:, 0, :], n_ix), 1.0)
-    np.add.at(d, (b_ix, idx[:, 1, :], n_ix), -1.0)
-    return d
+    b, _, n = idx.shape
+    flat = idx.reshape(b, 2 * n)                # point-1 samples then point-2
+    ys = flat // patch_size
+    xs = (flat % patch_size).astype(np.int32)
+    rows = np.zeros((b, 2 * n, patch_size), dtype=np.float32)
+    b_ix = np.arange(b)[:, None]
+    s_ix = np.arange(2 * n)[None, :]
+    rows[b_ix, s_ix, ys] = 1.0
+    return rows, xs
 
 
 def angle_bins(angles: Array, num_angle_bins: int) -> Array:
@@ -134,23 +135,43 @@ def describe(
 ) -> Array:
     """Rotated BRIEF: (K, P, P) patches + (K,) angles -> (K, num_bits/32) uint32.
 
-    The comparison I(p1) < I(p2) on rotated pattern points is evaluated for
-    ALL rotation bins as one batched MXU matmul against a precomputed +/-1
-    pair-difference matrix, then each keypoint's own bin is selected with a
-    one-hot contraction — zero gathers, fully dense (see _pair_diff_matrix).
+    Each keypoint evaluates ONLY its own rotation bin (the reference walks
+    one rotated pattern per keypoint, src/cuda/orb.cu:17-75; an earlier
+    design here computed all bins and one-hot-selected — 32x redundant MXU
+    work).  The per-bin pattern lookup is factored into dense ops:
+
+      1. gather the bin's row-selector (K, 2N, P) from a tiny (B, 2N, P)
+         constant table,
+      2. one batched matmul row-select: (K, 2N, P) x (K, P, P) -> (K, 2N, P)
+         rows of each patch at the pattern points' y coordinates,
+      3. a fused one-hot compare + reduce over the 37-wide column axis (VPU).
+
+    The row-select matmul runs at Precision.HIGHEST so pixel values are NOT
+    rounded to bf16 — the selected values are exact f32 pixels, and the BRIEF
+    bit is the exact sign of I(p1) - I(p2) (a one-hot matmul at HIGHEST
+    reconstructs the full f32 operand; default TPU precision would flip bits
+    for small post-blur differences).  The selection is ~1.4 GFLOP/frame at
+    K=1024 vs ~23 GFLOP for the all-bins formulation.
     """
     k, p, _ = patches.shape
-    dmat = jnp.asarray(_pair_diff_matrix(num_bits, p, num_angle_bins))
+    rows_tab, cols_tab = _rot_row_col_tables(num_bits, p, num_angle_bins)
     bins = angle_bins(angles, num_angle_bins)
-    flat = patches.reshape(k, p * p)
-    # (K, P^2) x (B, P^2, N) -> (B, K, N) pair differences, on the MXU
-    d_all = jnp.einsum(
-        "kp,bpn->bkn", flat, dmat, preferred_element_type=jnp.float32
-    )
-    onehot = jax.nn.one_hot(bins, num_angle_bins, dtype=jnp.float32)  # (K, B)
-    d = jnp.einsum("bkn,kb->kn", d_all, onehot,
-                   preferred_element_type=jnp.float32)
-    bits = (d < 0).astype(jnp.uint32)       # (K, N)
+    rowsel = jnp.asarray(rows_tab)[bins]                # (K, 2N, P)
+    col_idx = jnp.asarray(cols_tab)[bins]               # (K, 2N) int32
+    # batched row-select on the MXU: exact f32 (see docstring)
+    selrows = jax.lax.dot_general(
+        rowsel, patches,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                   # (K, 2N, P)
+    # fused column one-hot + reduce (never materializes a (K, 2N, P) mask)
+    cols = jax.lax.broadcasted_iota(jnp.int32, selrows.shape, 2)
+    vals = jnp.sum(
+        jnp.where(cols == col_idx[:, :, None], selrows, 0.0), axis=-1
+    )                                                   # (K, 2N)
+    d = vals[:, :num_bits] - vals[:, num_bits:]
+    bits = (d < 0).astype(jnp.uint32)                   # (K, N)
     words = bits.reshape(k, num_bits // 32, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     return jnp.sum(words * weights, axis=-1, dtype=jnp.uint32)

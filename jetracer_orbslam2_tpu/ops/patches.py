@@ -83,8 +83,12 @@ def extract_patches(levels: List[Array], kp: Keypoints, patch_size: int) -> Arra
     xs = xc[:, None] + offs[None, :]                              # (K, P)
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, w0, p), 1)
     onehot = (cols == xs[:, None, :]).astype(rows.dtype)          # (K, W0, P)
+    # HIGHEST so pixel values pass through un-rounded: a one-hot matmul at
+    # default TPU precision would round every pixel to bf16, silently
+    # corrupting the exact-compare BRIEF bits downstream (ops/orb.describe).
     return jax.lax.dot_general(
         rows, onehot,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )                                                             # (K, P, P)

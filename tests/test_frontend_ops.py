@@ -265,6 +265,34 @@ def test_descriptor_rotation_invariance():
     del ham
 
 
+def test_descriptor_matches_gather_oracle_fractional():
+    """The dense row-select/column-select formulation must produce exactly
+    the bits of the direct gather formulation I(p1) < I(p2) — on FRACTIONAL
+    pixel values (post-blur/halfsample magnitudes), where bf16 operand
+    rounding in a default-precision matmul would flip near-tie bits."""
+    rng = np.random.RandomState(11)
+    k, p, bins = 17, 37, 32
+    # fractional values near each other: worst case for precision loss
+    pat = (rng.rand(k, p, p).astype(np.float32) * 255.0 / 16.0).astype(
+        np.float32)
+    pat += rng.rand(k, p, p).astype(np.float32) * 1e-2
+    angles = rng.uniform(0, 2 * np.pi, k).astype(np.float32)
+    got = np.asarray(orb.describe(jnp.asarray(pat), jnp.asarray(angles)))
+
+    idx = orb.rotated_pattern_indices(256, p, bins)      # (B, 2, N)
+    bn = np.asarray(orb.angle_bins(jnp.asarray(angles), bins))
+    flat = pat.reshape(k, p * p)
+    bits = np.zeros((k, 256), np.uint32)
+    for i in range(k):
+        v1 = flat[i, idx[bn[i], 0]]
+        v2 = flat[i, idx[bn[i], 1]]
+        bits[i] = (v1 - v2) < 0          # exact f32 compare
+    words = bits.reshape(k, 8, 32)
+    ref = np.sum(words << np.arange(32, dtype=np.uint32), axis=-1,
+                 dtype=np.uint32)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_unpack_bits_roundtrip():
     rng = np.random.RandomState(9)
     desc = rng.randint(0, 2 ** 32, (3, 8), dtype=np.uint32)
