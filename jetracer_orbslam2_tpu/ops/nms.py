@@ -98,15 +98,27 @@ def select_keypoints(
 
     Replaces the reference's atomicAdd stream compaction with a static
     `lax.top_k`: same information, fixed shapes.
+
+    `border` is enforced here as a level-local keep-out against each level's
+    own (h, w) from `level_shapes`: a winner within `border` px of its
+    level's edge is zeroed before top-K.  The FAST kernels already zero
+    responses inside the border, so for the standard pipeline this is a
+    no-op — but it makes the contract hold for ANY response source (e.g. a
+    kernel run with a smaller in-kernel border), instead of silently
+    depending on the producer.
     """
-    del level_shapes  # shapes are implicit in winner coords; kept for API clarity
     scores, xs, ys, levels = [], [], [], []
     for lvl, cw in enumerate(winners):
         scale = float(2 ** lvl)
+        h, w = level_shapes[lvl]
+        in_bounds = (
+            (cw.x >= border) & (cw.x < w - border)
+            & (cw.y >= border) & (cw.y < h - border)
+        )
         # center-of-pixel mapping through repeated 2x2 box halfsampling
         x0 = (cw.x.astype(jnp.float32) + 0.5) * scale - 0.5
         y0 = (cw.y.astype(jnp.float32) + 0.5) * scale - 0.5
-        scores.append(cw.score)
+        scores.append(jnp.where(in_bounds, cw.score, 0.0))
         xs.append(x0)
         ys.append(y0)
         levels.append(jnp.full_like(cw.score, lvl, dtype=jnp.int32))
@@ -133,5 +145,4 @@ def select_keypoints(
         score=top_score,
         valid=valid,
     )
-    del border
     return kp

@@ -176,11 +176,28 @@ def test_select_keypoints_topk_and_scaling():
     )
     kp = nms.select_keypoints([w0, w1], [(32, 32), (16, 16)], 4, 1e-3, 3)
     score = np.asarray(kp.score)
-    assert list(score[:3]) == [7.0, 5.0, 3.0]
-    assert np.asarray(kp.valid).tolist() == [True, True, True, False]
+    # the 3.0 winner sits at x=2 < border=3 in its own level: dropped
+    assert list(score[:2]) == [7.0, 5.0]
+    assert np.asarray(kp.valid).tolist() == [True, True, False, False]
     # level-1 winner maps to level-0 coords (x+0.5)*2-0.5
     np.testing.assert_allclose(np.asarray(kp.xy)[0], [10.5, 6.5])
     assert int(np.asarray(kp.level)[0]) == 1
+
+
+def test_select_keypoints_enforces_level_border():
+    """The keep-out is level-LOCAL: the same (y, x) is legal at level 0 but
+    inside the border at a level whose image is smaller."""
+    w = nms.CellWinners(
+        score=jnp.asarray([2.0]),
+        y=jnp.asarray([13], jnp.int32),
+        x=jnp.asarray([13], jnp.int32),
+    )
+    # level shape (16, 16), border 5: y=13 >= 16-5 -> dropped
+    kp = nms.select_keypoints([w], [(16, 16)], 2, 1e-3, 5)
+    assert not np.asarray(kp.valid).any()
+    # same winner against a (32, 32) level survives
+    kp = nms.select_keypoints([w], [(32, 32)], 2, 1e-3, 5)
+    assert np.asarray(kp.valid).tolist() == [True, False]
 
 
 # ---------------------------------------------------------------------------
