@@ -158,10 +158,32 @@ class PoseGraphConfig:
 
 @dataclasses.dataclass(frozen=True)
 class LoopClosureConfig:
-    min_score: int = 40                 # descriptor votes to consider a loop
-    min_kf_gap: int = 30                # don't match recent keyframes
+    """Retrieval gate + geometric verification for loop closure.
+
+    `min_sim` is the centered-cosine retrieval threshold (global descriptors
+    are mean BRIEF bit vectors; centering at 0.5 turns cosine into a
+    correlation, which separates revisits from merely-same-room views —
+    validated on the synthetic lap in tests/test_loop_closure.py)."""
+
+    min_sim: float = 0.55               # centered-cosine retrieval gate
+    min_kf_gap: int = 10                # don't match the last N keyframes
     ransac_inlier_thresh: float = 0.10
     min_inliers: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class RelocConfig:
+    """Relocalization on tracking loss: after `after_frames` consecutive
+    failed tracks, retrieve the most similar keyframe (same global
+    descriptor as loop closure, no recency exclusion) and re-pose against
+    it with the loop-verification RANSAC.  The reference just free-runs on
+    loss (our models/tracking.py:177 used to as well)."""
+
+    after_frames: int = 3               # consecutive lost frames before trying
+    min_sim: float = 0.4                # retrieval gate (looser than loops:
+    #                                     geometric RANSAC does the vetting)
+    ransac_inlier_thresh: float = 0.10
+    min_inliers: int = 15
 
 
 @dataclasses.dataclass(frozen=True)
@@ -185,6 +207,7 @@ class SystemConfig:
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
     pose_graph: PoseGraphConfig = dataclasses.field(default_factory=PoseGraphConfig)
     loop: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
+    reloc: RelocConfig = dataclasses.field(default_factory=RelocConfig)
     runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
 
     def replace(self, **kw) -> "SystemConfig":

@@ -244,6 +244,29 @@ class EurocStereo:
     def groundtruth(self):
         return self.gt
 
+    def imu_packets(self, max_samples: int = 16):
+        """Per-frame IMU packets from imu0/data.csv
+        (ts[ns], wx, wy, wz [rad/s], ax, ay, az [m/s^2]); None if the
+        sequence ships no IMU.  Reference streams the equivalent live data
+        (src/RealSense/RealSenseD400.cpp:114-150)."""
+        path = os.path.join(self.root, "imu0", "data.csv")
+        if not os.path.exists(path):
+            return None
+        rows = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                v = line.split(",")[:7]
+                rows.append([float(x) for x in v])
+        rows = np.asarray(rows, np.float64)
+        imu_ts = rows[:, 0] * 1e-9
+        gyro = rows[:, 1:4].astype(np.float32)
+        accel = rows[:, 4:7].astype(np.float32)
+        frame_ts = np.asarray([t for t, _, _ in self.pairs], np.float64)
+        return build_imu_packets(imu_ts, gyro, accel, frame_ts, max_samples)
+
 
 class KittiOdometry:
     """KITTI odometry sequence dir: image_0/, image_1/, times.txt,
@@ -295,6 +318,48 @@ class KittiOdometry:
     @property
     def groundtruth(self):
         return self.gt
+
+
+def build_imu_packets(
+    imu_ts: np.ndarray,     # (M,) float64 ABSOLUTE seconds
+    gyro: np.ndarray,       # (M, 3)
+    accel: np.ndarray,      # (M, 3)
+    frame_ts: np.ndarray,   # (N,) float64 ABSOLUTE seconds
+    max_samples: int = 16,
+):
+    """Bucket raw IMU samples into fixed-size per-frame packets.
+
+    Packet i holds the samples with frame_ts[i-1] < t <= frame_ts[i]
+    (packet 0: everything up to the first frame).  Timestamps are converted
+    to float32 seconds RELATIVE to the first frame — float32 cannot
+    represent epoch seconds (resolution ~128 s at 1.4e9), so the subtraction
+    happens here in float64 (models/imu.py module docstring).
+
+    Returns (gyro (N,S,3) f32, gyro_ts (N,S) f32, accel (N,S,3) f32,
+    gyro_valid (N,S) bool, accel_valid (N,S) bool); overflow beyond
+    max_samples keeps the NEWEST samples (attitude is an exponential
+    filter — the stalest samples matter least).
+    """
+    n, S = len(frame_ts), max_samples
+    t0 = np.float64(frame_ts[0])
+    out_g = np.zeros((n, S, 3), np.float32)
+    out_gt = np.zeros((n, S), np.float32)
+    out_a = np.zeros((n, S, 3), np.float32)
+    ok_g = np.zeros((n, S), bool)
+    ok_a = np.zeros((n, S), bool)
+    edges = np.concatenate([[-np.inf], np.asarray(frame_ts, np.float64)])
+    which = np.searchsorted(edges, np.asarray(imu_ts, np.float64),
+                            side="left") - 1
+    rel = (np.asarray(imu_ts, np.float64) - t0).astype(np.float32)
+    for i in range(n):
+        idx = np.nonzero(which == i)[0][-S:]
+        k = len(idx)
+        out_g[i, :k] = gyro[idx]
+        out_gt[i, :k] = rel[idx]
+        out_a[i, :k] = accel[idx]
+        ok_g[i, :k] = True
+        ok_a[i, :k] = True
+    return out_g, out_gt, out_a, ok_g, ok_a
 
 
 def _pose_from_quat(tx, ty, tz, qx, qy, qz, qw):

@@ -42,6 +42,10 @@ _PLANES = (
     ((1.0, 0.0, 0.0), 2.5, (0.0, 0.0, 1.0), (0.0, 1.0, 0.0)),    # right wall x=2.5
     ((0.0, 1.0, 0.0), 1.8, (1.0, 0.0, 0.0), (0.0, 0.0, 1.0)),    # floor y=1.8
     ((0.0, 1.0, 0.0), -1.8, (1.0, 0.0, 0.0), (0.0, 0.0, 1.0)),   # ceiling y=-1.8
+    # front wall z=-3: closes the room so lap trajectories (which look in
+    # every direction) always see texture; forward-facing trajectories never
+    # cast rays toward it, so adding it leaves their renders unchanged.
+    ((0.0, 0.0, 1.0), -3.0, (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)),
 )
 
 
@@ -120,6 +124,55 @@ def render_frame(
     return best_val, depth
 
 
+def lap_trajectory(
+    n_frames: int,
+    radius: float = 1.2,
+    center_z: float = 2.0,
+    lap_frames: int | None = None,
+) -> Array:
+    """(N, 4, 4) T_wc poses: clockwise lap(s) around a circle inside the box
+    room; after `lap_frames` frames the camera is back at the start pose
+    (same position AND heading) and keeps going into a second lap.
+
+    The overshoot matters: the frames after `lap_frames` RE-OBSERVE the
+    first frames' exact views — the revisit that loop-closure detection
+    needs (the reference never had a map to close against; SURVEY.md §7.1
+    item 10).  Callers that only want the closed circle pass
+    n_frames == lap_frames + 1.
+    """
+    if lap_frames is None:
+        lap_frames = n_frames - 1
+    i = jnp.arange(n_frames, dtype=jnp.float32)
+    phi = 2.0 * jnp.pi * i / lap_frames
+    x = radius * jnp.sin(phi)
+    z = center_z - radius * jnp.cos(phi)
+    yaw = phi
+    w = jnp.stack([jnp.zeros_like(yaw), yaw, jnp.zeros_like(yaw)], -1)
+    R = geo.so3_exp(w)
+    t = jnp.stack([x, jnp.zeros_like(x), z], -1)
+    return geo.pose_from_rt(R, t)
+
+
+def generate_lap_sequence(
+    n_frames: int = 180,
+    shape: tuple = (240, 320),
+    seed: int = 0,
+    radius: float = 1.2,
+    lap_frames: int = 160,
+) -> SyntheticSequence:
+    """A lap-plus-overshoot RGB-D sequence (see lap_trajectory) for
+    loop-closure and relocalization tests."""
+    h, w = shape
+    intr = jnp.asarray(
+        [0.9 * w, 0.9 * w, (w - 1) / 2.0, (h - 1) / 2.0], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(_PLANES))
+    textures = jnp.stack([make_texture(k) for k in keys])
+    poses = lap_trajectory(n_frames, radius=radius, lap_frames=lap_frames)
+    render = jax.vmap(lambda T: render_frame(T, intr, textures, shape))
+    gray, depth = render(poses)
+    return SyntheticSequence(gray=gray, depth=depth, poses=poses, intrinsics=intr)
+
+
 def smooth_trajectory(n_frames: int, step: float = 0.02, yaw_rate: float = 0.004) -> Array:
     """(N, 4, 4) T_wc poses: gentle forward arc with yaw + small sway."""
     i = jnp.arange(n_frames, dtype=jnp.float32)
@@ -165,6 +218,68 @@ def generate_stereo_sequence(
     return SyntheticStereoSequence(
         left=left, right=right, depth=depth, poses=poses,
         intrinsics=intr, baseline=baseline)
+
+
+def imu_from_poses(
+    poses: Array,
+    fps: float = 30.0,
+    rate: float = 200.0,
+    g: float = 9.81,
+    seed: int = 0,
+    noise_gyro: float = 0.0,
+    noise_accel: float = 0.0,
+):
+    """Synthesize per-frame IMU packets from ground-truth poses.
+
+    For each inter-frame interval the body rate is the constant twist
+    omega = log(R_i^T R_{i+1}) * fps (exact for constant-twist trajectories
+    like laps), sampled at `rate` Hz; the accelerometer measures the gravity
+    direction in the body frame (y-down world: g_world = (0, g, 0)) — the
+    quantity the complementary filter consumes (reference
+    SlamGpuPipeline.cpp:211-239 uses accel only for gravity).
+
+    Returns (gyro (N, S, 3), gyro_ts (N, S) relative s, accel (N, S, 3),
+    gyro_valid (N, S), accel_valid (N, S)) numpy arrays: packet i holds the
+    samples between frame i-1 and frame i (packet 0 is a single seed
+    sample).
+    """
+    import numpy as np
+
+    from jetracer_orbslam2_tpu.ops import geometry as geo
+
+    P = np.asarray(poses)
+    n = P.shape[0]
+    S = max(1, int(np.ceil(rate / fps)))
+    rel = np.einsum("nij,njk->nik", P[:-1, :3, :3].transpose(0, 2, 1),
+                    P[1:, :3, :3])
+    omega = np.asarray(jax.vmap(geo.so3_log)(jnp.asarray(rel))) * fps
+    rng = np.random.RandomState(seed)
+
+    gyro = np.zeros((n, S, 3), np.float32)
+    gyro_ts = np.zeros((n, S), np.float32)
+    accel = np.zeros((n, S, 3), np.float32)
+    gyro_valid = np.zeros((n, S), bool)
+    accel_valid = np.zeros((n, S), bool)
+    g_world = np.asarray([0.0, g, 0.0], np.float32)
+    for i in range(n):
+        if i == 0:
+            accel[0, 0] = P[0, :3, :3].T @ g_world
+            accel_valid[0, 0] = True
+            gyro_ts[0, 0] = 0.0
+            gyro_valid[0, 0] = True        # latches last_ts, integrates 0
+            continue
+        t0, t1 = (i - 1) / fps, i / fps
+        ts = t0 + (np.arange(S) + 1) * (t1 - t0) / S
+        gyro[i] = omega[i - 1][None, :]
+        gyro_ts[i] = ts
+        gyro_valid[i] = True
+        accel[i] = (P[i, :3, :3].T @ g_world)[None, :]
+        accel_valid[i] = True
+    if noise_gyro:
+        gyro += rng.randn(*gyro.shape).astype(np.float32) * noise_gyro
+    if noise_accel:
+        accel += rng.randn(*accel.shape).astype(np.float32) * noise_accel
+    return gyro, gyro_ts, accel, gyro_valid, accel_valid
 
 
 def generate_sequence(

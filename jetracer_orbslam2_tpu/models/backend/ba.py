@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from jetracer_orbslam2_tpu.config import BAConfig
 from jetracer_orbslam2_tpu.ops import geometry as geo
+from jetracer_orbslam2_tpu.utils.precision import f32_estimation
 
 Array = jax.Array
 
@@ -218,6 +219,7 @@ def _apply(poses_cw, points, dxp, dxl, lm_free):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_estimation
 def bundle_adjust(
     prob: BAProblem, intrinsics: Array, cfg: BAConfig,
 ) -> tuple[Array, Array, BAStats]:

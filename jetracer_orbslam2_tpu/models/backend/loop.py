@@ -4,7 +4,7 @@ Entirely new capability (the reference has no loop closure, no keyframes —
 SURVEY.md §2, §7.1 item 10).  Pipeline:
 
   1. `retrieve`: batched cosine scores between the query keyframe's global
-     descriptor (mean BRIEF bit vector, map.py:_global_descriptor) and all
+     descriptor (mean BRIEF bit vector, map.py:global_descriptor) and all
      stored keyframes — a (1, 256) x (256, Kf) matvec, the BoW-free TPU
      retrieval prefilter.
   2. `verify`: full K x K Hamming matching between the two keyframes'
@@ -30,6 +30,7 @@ from jetracer_orbslam2_tpu.models.backend.pose_graph import (
 from jetracer_orbslam2_tpu.models import tracking
 from jetracer_orbslam2_tpu.ops import geometry as geo
 from jetracer_orbslam2_tpu.ops import match as match_ops
+from jetracer_orbslam2_tpu.utils.precision import f32_estimation
 
 Array = jax.Array
 
@@ -46,14 +47,28 @@ class LoopResult(NamedTuple):
     ok: Array
 
 
+def _centered_sims(table: Array, q: Array) -> Array:
+    """Centered-cosine similarity of query bit-frequency vector q (256,)
+    against each row of table (Kf, 256).
+
+    Global descriptors are mean BRIEF bits: every entry hovers around 0.5,
+    so RAW cosine between any two frames of the same scene is ~0.97+ — a
+    useless gate.  Subtracting 0.5 (the uninformative DC component) turns
+    cosine into a correlation of the bit-frequency DEVIATIONS, which
+    separates true revisits from same-room-different-view pairs."""
+    tc = table - 0.5
+    qc = q - 0.5
+    return tc @ qc / (
+        jnp.linalg.norm(tc, axis=1) * jnp.linalg.norm(qc) + 1e-9)
+
+
 @functools.partial(jax.jit, static_argnames=("min_kf_gap",))
+@f32_estimation
 def retrieve(
-    m: MapState, query_slot: Array, min_sim: float, min_kf_gap: int = 30,
+    m: MapState, query_slot: Array, min_sim: float, min_kf_gap: int = 10,
 ) -> LoopCandidate:
-    """Best non-recent keyframe by global-descriptor cosine similarity."""
-    q = m.kf_global_desc[query_slot]                     # (256,)
-    sims = m.kf_global_desc @ q / (
-        jnp.linalg.norm(m.kf_global_desc, axis=1) * jnp.linalg.norm(q) + 1e-9)
+    """Best non-recent keyframe by centered-cosine global-descriptor match."""
+    sims = _centered_sims(m.kf_global_desc, m.kf_global_desc[query_slot])
     slots = jnp.arange(m.kf_valid.shape[0])
     eligible = m.kf_valid & (slots < query_slot - min_kf_gap)
     sims = jnp.where(eligible, sims, -1.0)
@@ -65,38 +80,74 @@ def retrieve(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def verify(
-    m: MapState, slot_a: Array, slot_b: Array, key: Array,
-    cfg: LoopClosureConfig,
-) -> LoopResult:
-    """Descriptor-match keyframes a, b and RANSAC a rigid relative pose.
+@jax.jit
+@f32_estimation
+def retrieve_global(m: MapState, gdesc: Array, min_sim: Array) -> LoopCandidate:
+    """Best keyframe for an arbitrary query global descriptor (no recency
+    exclusion) — the relocalization entry: the lost frame is not a keyframe,
+    and the most recent keyframes are exactly the ones worth re-posing
+    against."""
+    sims = jnp.where(
+        m.kf_valid, _centered_sims(m.kf_global_desc, gdesc), -1.0)
+    best = jnp.argmax(sims).astype(jnp.int32)
+    return LoopCandidate(
+        kf_idx=best,
+        score=sims[best],
+        ok=(sims[best] > min_sim) & jnp.any(m.kf_valid),
+    )
 
-    Solves points_a ~= T_ab @ points_b over mutually-matched keypoints with
-    valid depth (camera-frame 3D from each keyframe's own RGB-D
-    backprojection).
-    """
-    desc_a = m.kf_desc[slot_a]
-    desc_b = m.kf_desc[slot_b]
-    has_a = m.kf_has_point[slot_a]
-    has_b = m.kf_has_point[slot_b]
+
+def _verify_pair(
+    desc_a, has_a, pts_a, desc_b, has_b, pts_b, key,
+    thresh: float, min_inliers: int,
+) -> LoopResult:
+    """Descriptor-match two feature sets and RANSAC a rigid relative pose:
+    points_a ~= T_ab @ points_b over mutually-matched keypoints with valid
+    camera-frame 3D."""
     res = match_ops.match(
         desc_a, desc_b, has_a, has_b,
         xy_a_pred=None, xy_b=None, window=0.0,
         max_hamming=80.0, mutual=True,
     )
-    pts_a = m.kf_points[slot_a]
-    pts_b = m.kf_points[slot_b][res.idx]
+    pts_b_m = pts_b[res.idx]
     w = (res.valid & has_b[res.idx]).astype(jnp.float32)
     rr = tracking.ransac_kabsch(
-        pts_b, pts_a, w, key,
-        iters=512, thresh=cfg.ransac_inlier_thresh,
-        min_inliers=cfg.min_inliers,
+        pts_b_m, pts_a, w, key,
+        iters=512, thresh=thresh, min_inliers=min_inliers,
     )
     return LoopResult(T_ab=rr.T, num_inliers=rr.num_inliers, ok=rr.ok)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_estimation
+def verify(
+    m: MapState, slot_a: Array, slot_b: Array, key: Array,
+    cfg: LoopClosureConfig,
+) -> LoopResult:
+    """Geometric loop verification between two stored keyframes."""
+    return _verify_pair(
+        m.kf_desc[slot_a], m.kf_has_point[slot_a], m.kf_points[slot_a],
+        m.kf_desc[slot_b], m.kf_has_point[slot_b], m.kf_points[slot_b],
+        key, cfg.ransac_inlier_thresh, cfg.min_inliers)
+
+
+@functools.partial(jax.jit, static_argnames=("thresh", "min_inliers"))
+@f32_estimation
+def verify_features(
+    m: MapState, desc, has_point, points, slot_b: Array, key: Array,
+    thresh: float, min_inliers: int,
+) -> LoopResult:
+    """Verify a live frame's features against stored keyframe `slot_b`
+    (the relocalization pose solve: T_ab maps keyframe-camera coords to
+    query-camera coords, so T_w_query = kf_pose[slot_b] @ inv(T_ab))."""
+    return _verify_pair(
+        desc, has_point, points,
+        m.kf_desc[slot_b], m.kf_has_point[slot_b], m.kf_points[slot_b],
+        key, thresh, min_inliers)
+
+
 @functools.partial(jax.jit, static_argnames=("pg_cfg",))
+@f32_estimation
 def close(
     m: MapState, slot_a: Array, slot_b: Array, T_ab: Array,
     pg_cfg: PoseGraphConfig, loop_weight: float = 4.0,

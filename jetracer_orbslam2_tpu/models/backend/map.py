@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jetracer_orbslam2_tpu.config import MapConfig
 from jetracer_orbslam2_tpu.models.frontend import Features
 from jetracer_orbslam2_tpu.ops import geometry as geo
+from jetracer_orbslam2_tpu.utils.precision import f32_estimation
 
 Array = jax.Array
 
@@ -79,9 +80,10 @@ def init_map(cfg: MapConfig, num_keypoints: int, desc_words: int = 8) -> MapStat
     )
 
 
-def _global_descriptor(desc: Array, valid: Array) -> Array:
+def global_descriptor(desc: Array, valid: Array) -> Array:
     """(K, 8) packed -> (256,) mean bit vector over valid keypoints (a
-    cheap whole-image retrieval signature; BoW-free loop-closure prefilter)."""
+    cheap whole-image retrieval signature; BoW-free loop-closure prefilter).
+    Match with backend/loop._centered_sims, which strips the ~0.5 DC."""
     from jetracer_orbslam2_tpu.ops.orb import unpack_bits
 
     bits = unpack_bits(desc)  # (K, 256)
@@ -90,6 +92,7 @@ def _global_descriptor(desc: Array, valid: Array) -> Array:
 
 
 @jax.jit
+@f32_estimation
 def insert_keyframe(
     m: MapState,
     feats: Features,
@@ -160,7 +163,7 @@ def insert_keyframe(
         m.obs_valid[obs_slot_c] | obs_ok, mode="drop")
     n_obs = jnp.sum(obs_ok).astype(jnp.int32)
 
-    gdesc = _global_descriptor(feats.desc, feats.valid)
+    gdesc = global_descriptor(feats.desc, feats.valid)
 
     def upd(arr, val):
         return jnp.where(can_insert, arr.at[slot_c].set(val), arr)
@@ -191,6 +194,7 @@ def insert_keyframe(
 
 
 @functools.partial(jax.jit, static_argnames=("max_hamming", "window"))
+@f32_estimation
 def associate_landmarks(
     m: MapState,
     feats: Features,

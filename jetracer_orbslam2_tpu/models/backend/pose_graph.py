@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from jetracer_orbslam2_tpu.config import PoseGraphConfig
 from jetracer_orbslam2_tpu.ops import geometry as geo
+from jetracer_orbslam2_tpu.utils.precision import f32_estimation
 
 Array = jax.Array
 
@@ -44,6 +45,7 @@ def _edge_residual(Ti, Tj, Zij):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_estimation
 def optimize_pose_graph(
     prob: PoseGraphProblem, cfg: PoseGraphConfig,
 ) -> tuple[Array, Array]:

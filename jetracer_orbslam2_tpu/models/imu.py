@@ -9,7 +9,14 @@ alpha = 0.98).
 The state update is a few scalar ops; it is expressed as a pure jnp function
 so it can be fused into a jitted step or scanned over a whole IMU packet
 batch (the 200 Hz gyro stream between two 60 fps frames is a `lax.scan`, one
-dispatch per frame instead of one per sample).
+dispatch per frame instead of one per sample — io/datasets.imu_packets
+builds the fixed-size per-frame packets).
+
+Timestamps are RELATIVE seconds since sequence start, never epoch seconds:
+float32 resolution at EuRoC/TUM epoch magnitudes (~1.4e9 s) is ~128 s, which
+would turn every dt into garbage.  Dataset loaders subtract the sequence
+start in float64 on the host before anything reaches this module
+(io/datasets.py), and `process_gyro` guards against absolute-looking inputs.
 """
 
 from __future__ import annotations
@@ -23,17 +30,22 @@ Array = jax.Array
 
 ALPHA = 0.98  # complementary blend (reference SlamGpuPipeline.cpp:232-236)
 
+# Relative timestamps beyond this are certainly a unit bug (a day-long
+# sequence is 9e4 s; epoch seconds are 1e9).  Samples past the horizon are
+# ignored rather than silently integrating a ~128 s-quantized dt.
+MAX_REL_TS = 1e6
+
 
 class ImuState(NamedTuple):
     theta: Array       # (3,) roll/pitch/yaw-ish Euler attitude [rad]
-    last_ts: Array     # () float64-ish seconds as float32
+    last_ts: Array     # () float32 RELATIVE seconds since sequence start
     initialized: Array  # () bool — first accel sample seeds theta
 
 
 def init_state() -> ImuState:
     return ImuState(
         theta=jnp.zeros(3, jnp.float32),
-        last_ts=jnp.float32(0.0),
+        last_ts=jnp.float32(-1.0),
         initialized=jnp.asarray(False),
     )
 
@@ -41,14 +53,18 @@ def init_state() -> ImuState:
 def process_gyro(state: ImuState, gyro: Array, ts: Array) -> ImuState:
     """Integrate angular rate (rad/s) over the timestamp delta.
 
-    Axis remap matches the reference (SlamGpuPipeline.cpp:196-208): camera
-    frame with z forward; theta_x += -gyro_z*dt is the reference's mapping —
-    we keep a plain body-rate integration with the same complementary
-    structure (our datasets provide already-calibrated body rates).
+    `ts` is relative seconds (see module docstring).  The first sample (and
+    any non-monotonic or absolute-epoch timestamp) only latches `last_ts`
+    without integrating.  Axis convention matches the reference's intent
+    (SlamGpuPipeline.cpp:196-208): body rates integrate directly; datasets
+    provide already-calibrated rates.
     """
-    dt = jnp.where(state.last_ts > 0, ts - state.last_ts, 0.0)
+    ok = (state.last_ts >= 0.0) & (ts > state.last_ts) & (ts < MAX_REL_TS)
+    dt = jnp.where(ok, ts - state.last_ts, 0.0)
     theta = state.theta + gyro * dt
-    return ImuState(theta=theta, last_ts=ts, initialized=state.initialized)
+    new_ts = jnp.where(ts < MAX_REL_TS, ts, state.last_ts)
+    return ImuState(theta=theta, last_ts=new_ts,
+                    initialized=state.initialized)
 
 
 def process_accel(state: ImuState, accel: Array) -> ImuState:
@@ -72,10 +88,10 @@ def process_accel(state: ImuState, accel: Array) -> ImuState:
 def process_packet(
     state: ImuState,
     gyro: Array,       # (N, 3) rad/s
-    gyro_ts: Array,    # (N,) s
+    gyro_ts: Array,    # (N,) relative s
     accel: Array,      # (M, 3) m/s^2
-    accel_valid: Array,  # (M,) bool (fixed-size packet with mask)
-    gyro_valid: Array,   # (N,) bool
+    gyro_valid: Array,   # (N,) bool (fixed-size packet with mask)
+    accel_valid: Array,  # (M,) bool
 ) -> ImuState:
     """Fold a fixed-size batch of IMU samples into the state (one dispatch
     per camera frame; reference handled each 200 Hz event on the bus)."""

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jetracer_orbslam2_tpu.config import SystemConfig
+from jetracer_orbslam2_tpu.models import imu as imu_mod
 from jetracer_orbslam2_tpu.models import tracking
 from jetracer_orbslam2_tpu.models.backend import loop as loop_mod
 from jetracer_orbslam2_tpu.models.backend import map as map_mod
@@ -34,6 +35,7 @@ from jetracer_orbslam2_tpu.models.backend.ba import BAProblem, bundle_adjust
 from jetracer_orbslam2_tpu.models.backend.map import MapState
 from jetracer_orbslam2_tpu.models.frontend import Features, frontend_gray_depth
 from jetracer_orbslam2_tpu.ops import geometry as geo
+from jetracer_orbslam2_tpu.utils.precision import f32_estimation
 
 Array = jax.Array
 
@@ -50,6 +52,7 @@ class FrameReport(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_estimation
 def track_and_associate(
     prev: Features,
     curr: Features,
@@ -114,6 +117,7 @@ def track_and_associate(
 
 
 @functools.partial(jax.jit, static_argnames=("window_size", "cfg"))
+@f32_estimation
 def local_ba(
     m: MapState,
     intrinsics: Array,
@@ -164,6 +168,7 @@ class SlamOutput:
     num_keyframes: int
     num_landmarks: int
     num_loops: int
+    num_relocs: int = 0
 
 
 class Slam:
@@ -183,10 +188,25 @@ class Slam:
         self.velocity = jnp.eye(4, dtype=jnp.float32)
         self.frame_idx = 0
         self.frames_since_kf = 0
-        self.frames_since_loop = 0
         self.num_loops = 0
-        self.trajectory: list[np.ndarray] = []
+        self.lost_streak = 0
+        self.num_relocs = 0
+        self.trajectory: list[np.ndarray] = []   # live (causal) estimates
         self.tracked: list[bool] = []
+        # every frame is anchored to its reference keyframe: the FINAL
+        # trajectory (result()) composes the frame-relative pose with the
+        # keyframe's OPTIMIZED pose, so local-BA and loop-closure
+        # corrections apply retroactively to the whole trajectory (the
+        # ORB-SLAM2 output convention; the live causal estimate cannot
+        # benefit from a loop that closes later).
+        self.frame_ref_kf: list[int] = []
+        self.frame_rel: list[np.ndarray] = []    # T_refkf_frame at record time
+        self._ref_slot = 0
+        self._ref_pose_np = np.eye(4, dtype=np.float32)
+        # IMU attitude rides alongside the visual pipeline, exactly as the
+        # reference attaches its complementary-filter theta to every frame
+        # (SlamGpuPipeline.cpp:154, streamed at WebSocketCom.cpp:164-169).
+        self.imu_state = imu_mod.init_state()
 
     def _features(self, gray, depth) -> Features:
         t = self.cfg.tracking
@@ -205,7 +225,7 @@ class Slam:
     def _try_loop_close(self, slot) -> bool:
         lc = self.cfg.loop
         cand = loop_mod.retrieve(
-            self.m, slot, min_sim=0.97, min_kf_gap=lc.min_kf_gap)
+            self.m, slot, min_sim=lc.min_sim, min_kf_gap=lc.min_kf_gap)
         if not bool(cand.ok):
             return False
         key = jax.random.fold_in(self.base_key, 10_000 + self.frame_idx)
@@ -219,14 +239,60 @@ class Slam:
         self.num_loops += 1
         return True
 
-    def process_frame(self, gray, depth) -> FrameReport | None:
+    def _try_relocalize(self, feats: Features) -> bool:
+        """Re-pose a lost frame against the keyframe DB (retrieval + RANSAC).
+
+        The reference free-runs forever on tracking loss; ORB-SLAM2-class
+        recovery (SURVEY.md §7.1 item 10) retrieves the most similar stored
+        keyframe and solves the relative pose from scratch — no motion
+        prior, so an arbitrarily wrong current pose estimate is recoverable.
+        """
+        rc = self.cfg.reloc
+        gdesc = map_mod.global_descriptor(feats.desc, feats.valid)
+        cand = loop_mod.retrieve_global(self.m, gdesc, jnp.float32(rc.min_sim))
+        if not bool(cand.ok):
+            return False
+        key = jax.random.fold_in(self.base_key, 20_000 + self.frame_idx)
+        ver = loop_mod.verify_features(
+            self.m, feats.desc, feats.has_point, feats.points, cand.kf_idx,
+            key, rc.ransac_inlier_thresh, rc.min_inliers)
+        if not bool(ver.ok):
+            return False
+        # T_ab: keyframe-camera -> query-camera; T_w_query = T_w_kf @ T_ab^-1
+        self.T_wc = self.m.kf_pose[cand.kf_idx] @ geo.pose_inverse(ver.T_ab)
+        self.velocity = jnp.eye(4, dtype=jnp.float32)  # motion prior is stale
+        self.lost_streak = 0
+        self.num_relocs += 1
+        return True
+
+    def process_imu(self, packet) -> None:
+        """Fold one per-frame IMU packet (gyro, gyro_ts, accel, gyro_valid,
+        accel_valid — io/datasets.build_imu_packets layout) into the
+        attitude state.  One jitted dispatch per camera frame."""
+        g, gts, a, gok, aok = packet
+        self.imu_state = imu_mod.process_packet(
+            self.imu_state, jnp.asarray(g), jnp.asarray(gts),
+            jnp.asarray(a), jnp.asarray(gok), jnp.asarray(aok))
+
+    @property
+    def attitude(self) -> np.ndarray:
+        """(3,) filtered Euler attitude [rad] (telemetry payload parity
+        with the reference's ax/ay/az fields, WebSocketCom.cpp:164-169)."""
+        return np.asarray(self.imu_state.theta)
+
+    def process_frame(self, gray, depth, imu_packet=None) -> FrameReport | None:
         """Feed one RGB-D frame.  Returns the per-frame report (None for
         the very first frame, which only bootstraps)."""
-        return self.process_features(self._features(gray, depth))
+        return self.process_features(
+            self._features(gray, depth), imu_packet=imu_packet)
 
-    def process_features(self, feats: Features) -> FrameReport | None:
+    def process_features(
+        self, feats: Features, imu_packet=None,
+    ) -> FrameReport | None:
         """Feed one already-extracted feature set (RGB-D or stereo path —
         models/stereo.frontend_stereo produces the same structure)."""
+        if imu_packet is not None:
+            self.process_imu(imu_packet)
         if self.prev is None:
             self.prev = feats
             self.trajectory.append(np.asarray(self.T_wc))
@@ -234,7 +300,12 @@ class Slam:
             # bootstrap keyframe: everything with depth becomes a landmark
             k = feats.xy.shape[0]
             no_match = jnp.zeros(k, bool)
-            self._insert_keyframe(feats, jnp.zeros(k, jnp.int32), no_match)
+            slot = self._insert_keyframe(
+                feats, jnp.zeros(k, jnp.int32), no_match)
+            self._ref_slot = int(slot)
+            self._ref_pose_np = np.asarray(self.T_wc)
+            self.frame_ref_kf.append(self._ref_slot)
+            self.frame_rel.append(np.eye(4, dtype=np.float32))
             self.frame_idx += 1
             return None
 
@@ -249,26 +320,52 @@ class Slam:
         ok, need_kf = bool(report.tracked_ok), bool(report.need_kf)
         self.tracked.append(ok)
 
+        if ok:
+            self.lost_streak = 0
+        else:
+            self.lost_streak += 1
+            if self.lost_streak >= self.cfg.reloc.after_frames:
+                if self._try_relocalize(feats):
+                    self.trajectory[-1] = np.asarray(self.T_wc)
+
         if need_kf:
             slot = self._insert_keyframe(feats, lm_idx, lm_ok)
             self.m = local_ba(
                 self.m, self.intr, self.cfg.map.window_size, self.cfg)
             # refresh live pose from the optimized newest keyframe
             self.T_wc = self.m.kf_pose[slot]
+            # loop detection runs at EVERY keyframe (ORB-SLAM2 convention):
+            # retrieval's min_kf_gap exclusion is the recency gate, and the
+            # RANSAC verification is the correctness gate — a cooldown here
+            # would let one weak overlap closure shadow the real revisit.
+            self._try_loop_close(slot)
             self.trajectory[-1] = np.asarray(self.T_wc)
-            if self.frames_since_loop > self.cfg.loop.min_kf_gap:
-                if self._try_loop_close(slot):
-                    self.frames_since_loop = 0
+            self._ref_slot = int(slot)
+            self._ref_pose_np = self.trajectory[-1]
+
+        T_np = self.trajectory[-1]
+        self.frame_ref_kf.append(self._ref_slot)
+        self.frame_rel.append(
+            np.linalg.inv(self._ref_pose_np).astype(np.float32) @ T_np)
         self.frame_idx += 1
         self.frames_since_kf += 1
-        self.frames_since_loop += 1
         return report
 
     def result(self) -> SlamOutput:
+        """Final trajectory: each frame rides its reference keyframe's
+        OPTIMIZED pose (see frame_ref_kf/frame_rel), so the whole history
+        reflects every local BA and loop closure that happened after the
+        frame was live."""
+        kf_pose = np.asarray(self.m.kf_pose)
+        poses = np.stack([
+            kf_pose[ref] @ rel
+            for ref, rel in zip(self.frame_ref_kf, self.frame_rel)
+        ])
         return SlamOutput(
-            poses=np.stack(self.trajectory),
+            poses=poses,
             tracked=np.asarray(self.tracked),
             num_keyframes=int(self.m.num_kf),
             num_landmarks=int(self.m.num_lm),
             num_loops=self.num_loops,
+            num_relocs=self.num_relocs,
         )

@@ -32,6 +32,7 @@ from jetracer_orbslam2_tpu.config import TrackingConfig
 from jetracer_orbslam2_tpu.ops import geometry as geo
 from jetracer_orbslam2_tpu.ops import match as match_ops
 from jetracer_orbslam2_tpu.models.frontend import Features
+from jetracer_orbslam2_tpu.utils.precision import f32_estimation
 
 Array = jax.Array
 
@@ -127,6 +128,7 @@ def icp(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_estimation
 def track_rgbd(
     prev: Features,
     curr: Features,

@@ -243,7 +243,9 @@ def sharded_bundle_adjust(
         in_specs=(rep, shd, shd, shd, shd, shd, shd, shd, rep, shd, rep),
         out_specs=(rep, shd, rep),
     )
-    return jax.jit(smapped)(
+    from jetracer_orbslam2_tpu.utils.precision import f32_estimation
+
+    return jax.jit(f32_estimation(smapped))(
         sprob.poses, sprob.points, sprob.obs_kf, sprob.obs_lm,
         sprob.obs_uv, sprob.obs_z, sprob.obs_z_valid, sprob.obs_valid,
         sprob.fixed, sprob.lm_valid, intrinsics)

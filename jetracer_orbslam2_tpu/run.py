@@ -61,7 +61,7 @@ def main(argv=None) -> int:
         def frames():
             for i in range(n):
                 yield (np.asarray(seq.gray[i]), np.asarray(seq.depth[i]),
-                       None)
+                       None, None)
     elif args.dataset:
         from jetracer_orbslam2_tpu.io.datasets import open_dataset
 
@@ -72,11 +72,17 @@ def main(argv=None) -> int:
         intr = ds.intrinsics
         baseline = ds.baseline
         gt = ds.groundtruth[:n] if ds.groundtruth is not None else None
+        # per-frame IMU packets when the dataset ships an IMU (EuRoC imu0)
+        imu_pk = getattr(ds, "imu_packets", lambda: None)()
 
         def frames():
             for i in range(n):
                 fr = ds.frame(i)
-                yield (fr.gray, fr.depth, fr.right)
+                pk = None
+                if imu_pk is not None:
+                    g, gts, a, gok, aok = imu_pk
+                    pk = (g[i], gts[i], a[i], gok[i], aok[i])
+                yield (fr.gray, fr.depth, fr.right, pk)
     else:
         print("need --dataset or --synthetic", file=sys.stderr)
         return 2
@@ -104,12 +110,13 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     count = 0
     try:
-        for gray, depth, right in pipe:
+        for gray, depth, right, imu_pkt in pipe:
             if is_stereo:
                 feats = stereo_feats(gray, right)
-                slam.process_features(feats)
+                slam.process_features(feats, imu_packet=imu_pkt)
             else:
-                slam.process_frame(jnp.asarray(gray), jnp.asarray(depth))
+                slam.process_frame(jnp.asarray(gray), jnp.asarray(depth),
+                                   imu_packet=imu_pkt)
             count += 1
             if count % 50 == 0:
                 print(f"[{count}/{n}] kf={int(slam.m.num_kf)} "
@@ -125,7 +132,9 @@ def main(argv=None) -> int:
         "keyframes": out.num_keyframes,
         "landmarks": out.num_landmarks,
         "loops": out.num_loops,
+        "relocs": out.num_relocs,
         "tracked_frac": float(np.mean(out.tracked)),
+        "attitude_rad": [round(float(x), 4) for x in slam.attitude],
     }
     if gt is not None and count > 1:
         r = ate(jnp.asarray(out.poses[:count]), jnp.asarray(gt[:count]))

@@ -1,0 +1,203 @@
+"""End-to-end loop closure + relocalization on synthetic lap trajectories.
+
+These tests exist so the capabilities cannot silently rot (VERDICT round 1:
+loop closure had never fired anywhere).  The lap sequence revisits its start
+view after one full circle (io/synthetic.lap_trajectory); depth noise gives
+the odometry honest drift for the closure to correct.  The narrow
+match_window keeps map re-association from absorbing the drift before the
+explicit loop machinery gets to demonstrate itself.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jetracer_orbslam2_tpu.config import (
+    FrontendConfig, LoopClosureConfig, RelocConfig, SystemConfig,
+    TrackingConfig)
+from jetracer_orbslam2_tpu.evaluation import ate
+from jetracer_orbslam2_tpu.io.synthetic import generate_lap_sequence
+from jetracer_orbslam2_tpu.models.backend import loop as loop_mod
+from jetracer_orbslam2_tpu.models.slam import Slam
+
+H, W = 180, 240
+LAP, N = 110, 126
+
+BASE = SystemConfig(
+    frontend=FrontendConfig(height=H, width=W, num_levels=3,
+                            max_keypoints=512),
+    tracking=TrackingConfig(match_window=16.0),
+)
+
+
+@pytest.fixture(scope="module")
+def lap():
+    """(features list, noisy sequence) shared across loop tests — the
+    frontend is the expensive part and is identical for every run."""
+    seq = generate_lap_sequence(n_frames=N, shape=(H, W), lap_frames=LAP)
+    rng = np.random.RandomState(0)
+    depth = np.asarray(seq.depth)
+    noisy = jnp.asarray(
+        depth * (1.0 + 0.01 * depth * rng.randn(*depth.shape)
+                 .astype(np.float32)))
+    s = Slam(BASE, seq.intrinsics)
+    feats = [s._features(seq.gray[i], noisy[i]) for i in range(N)]
+    return seq, feats
+
+
+def _run(seq, feats, cfg):
+    slam = Slam(cfg, seq.intrinsics)
+    for f in feats:
+        slam.process_features(f)
+    out = slam.result()
+    r = ate(jnp.asarray(out.poses), seq.poses)
+    return slam, out, float(r.rmse)
+
+
+def test_loop_closure_fires_and_improves_ate(lap):
+    seq, feats = lap
+    slam, out, rmse = _run(seq, feats, BASE)
+    assert out.num_loops >= 1, "loop closure stopped firing on the lap"
+    assert out.tracked.mean() > 0.9
+
+    # control: same frames with the retrieval gate closed -> no loops,
+    # measurably worse trajectory
+    off = dataclasses.replace(BASE, loop=LoopClosureConfig(min_sim=2.0))
+    _, out0, rmse0 = _run(seq, feats, off)
+    assert out0.num_loops == 0
+    assert rmse < rmse0, (
+        f"loop closure did not improve ATE: {rmse:.4f} vs {rmse0:.4f}")
+    # the improvement is substantial on this drifty lap, not a rounding win
+    assert rmse < 0.92 * rmse0
+
+
+def test_retrieval_ranks_true_revisit_top(lap):
+    seq, feats = lap
+    slam, out, _ = _run(seq, feats, BASE)
+    m = slam.m
+    q = int(m.num_kf) - 1           # newest keyframe: deep in the overshoot
+    cand = loop_mod.retrieve(m, jnp.int32(q), min_sim=BASE.loop.min_sim,
+                             min_kf_gap=BASE.loop.min_kf_gap)
+    assert bool(cand.ok)
+    # the best match must be an early-lap keyframe (the true revisit), not
+    # a mid-lap one
+    assert int(m.kf_frame_id[cand.kf_idx]) < LAP // 4
+    assert float(cand.score) > BASE.loop.min_sim
+
+
+def test_verify_accepts_revisit_rejects_disjoint(lap):
+    seq, feats = lap
+    slam, out, _ = _run(seq, feats, BASE)
+    m = slam.m
+    key = jax.random.PRNGKey(3)
+    q = int(m.num_kf) - 1
+    cand = loop_mod.retrieve(m, jnp.int32(q), min_sim=BASE.loop.min_sim,
+                             min_kf_gap=BASE.loop.min_kf_gap)
+    ver = loop_mod.verify(m, jnp.int32(q), cand.kf_idx, key, BASE.loop)
+    assert bool(ver.ok) and int(ver.num_inliers) >= BASE.loop.min_inliers
+
+    # two keyframes a quarter-lap apart look at different walls: the
+    # geometric check must reject them even if retrieval were fooled
+    kf_frames = np.asarray(m.kf_frame_id)[: int(m.num_kf)]
+    far = int(np.argmin(np.abs(kf_frames - LAP // 2)))
+    first = 0
+    ver_bad = loop_mod.verify(
+        m, jnp.int32(far), jnp.int32(first), key, BASE.loop)
+    assert not bool(ver_bad.ok)
+
+
+def test_closure_reduces_loop_edge_discrepancy(lap):
+    """Direct mechanical check: after close(), the keyframe chain is
+    consistent with the verified loop measurement."""
+    seq, feats = lap
+    slam, out, _ = _run(seq, feats, BASE)
+    m = slam.m
+    key = jax.random.PRNGKey(4)
+    q = int(m.num_kf) - 1
+    cand = loop_mod.retrieve(m, jnp.int32(q), min_sim=BASE.loop.min_sim,
+                             min_kf_gap=BASE.loop.min_kf_gap)
+    ver = loop_mod.verify(m, jnp.int32(q), cand.kf_idx, key, BASE.loop)
+    assert bool(ver.ok)
+    T_ab = np.asarray(ver.T_ab)
+
+    def gap(mm):
+        Ta = np.asarray(mm.kf_pose[q])
+        Tb = np.asarray(mm.kf_pose[cand.kf_idx])
+        est = np.linalg.inv(Ta) @ Tb
+        return np.linalg.norm(est[:3, 3] - T_ab[:3, 3])
+
+    g_before = gap(m)
+    m2 = loop_mod.close(m, jnp.int32(q), cand.kf_idx, ver.T_ab,
+                        BASE.pose_graph)
+    g_after = gap(m2)
+    assert g_after <= g_before + 1e-6
+    assert np.isfinite(np.asarray(m2.kf_pose)).all()
+    assert np.isfinite(np.asarray(m2.lm_pos)).all()
+
+
+def _kinked_blackout_sequence(n=60, black=slice(30, 35), turn=0.04):
+    """A sequence whose heading CHANGES during a sensor blackout.
+
+    A smooth constant-velocity trajectory is exactly predicted by the
+    tracker's motion model, so a blackout alone loses nothing; the kink
+    makes the free-run prediction genuinely wrong and only a real
+    re-localization against the map can recover the pose."""
+    from jetracer_orbslam2_tpu.io.synthetic import (
+        _PLANES, make_texture, render_frame)
+    from jetracer_orbslam2_tpu.ops import geometry as geo
+
+    yaw_rate = np.zeros(n, np.float32)
+    yaw_rate[black] = turn                     # turn only while blind
+    yaw = np.cumsum(yaw_rate).astype(np.float32)
+    pos = np.zeros((n, 3), np.float32)
+    step = 0.025
+    for i in range(1, n):
+        fwd = np.array([np.sin(yaw[i - 1]), 0.0, np.cos(yaw[i - 1])])
+        pos[i] = pos[i - 1] + step * fwd
+    w = jnp.stack([jnp.zeros(n), jnp.asarray(yaw), jnp.zeros(n)], -1)
+    poses = geo.pose_from_rt(geo.so3_exp(w), jnp.asarray(pos))
+    intr = jnp.asarray(
+        [0.9 * W, 0.9 * W, (W - 1) / 2.0, (H - 1) / 2.0], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(5), len(_PLANES))
+    textures = jnp.stack([make_texture(k) for k in keys])
+    render = jax.vmap(lambda T: render_frame(T, intr, textures, (H, W)))
+    gray, depth = render(poses)
+    g = np.asarray(gray).copy()
+    rng = np.random.RandomState(2)
+    g[black] = rng.rand(*g[black].shape).astype(np.float32) * 255.0
+    return jnp.asarray(g), depth, poses, intr
+
+
+def test_relocalization_recovers_from_blackout():
+    """Corrupt a run of frames mid-sequence while the camera turns; the
+    tracker loses the pose and free-runs straight, then relocalizes against
+    the keyframe DB on the first clean frame."""
+    n, black = 60, slice(30, 35)
+    gray, depth, gt_poses, intr = _kinked_blackout_sequence(n, black)
+    cfg = BASE
+
+    def run(c):
+        slam = Slam(c, intr)
+        for i in range(n):
+            slam.process_frame(gray[i], depth[i])
+        out = slam.result()
+        # error over the CLEAN tail only (blackout frames are unknowable)
+        tail = slice(40, n)
+        r = ate(jnp.asarray(out.poses[tail]), gt_poses[tail])
+        return out, float(r.rmse)
+
+    out, tail_rmse = run(cfg)
+    assert out.num_relocs >= 1, "relocalization never fired"
+    assert (~out.tracked[black]).any()          # the blackout really lost it
+    assert out.tracked[45:].all()               # and tracking recovered
+    assert tail_rmse < 0.06, f"post-blackout drift not recovered: {tail_rmse}"
+
+    # control: relocalization disabled -> the free-run pose keeps the kink
+    # error and the tail is far worse
+    no_reloc = dataclasses.replace(cfg, reloc=RelocConfig(min_sim=2.0))
+    out0, tail_rmse0 = run(no_reloc)
+    assert out0.num_relocs == 0
+    assert tail_rmse < 0.5 * tail_rmse0
