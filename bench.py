@@ -67,6 +67,18 @@ def main() -> None:
         }))
         sys.exit(1)
 
+    # BA kernel speed (BASELINE.md targets table: "BA ms/iter"): the
+    # windowed-BA config (8 poses, 4096 landmarks, depth-anchored LM with
+    # Schur complement) on a 1-device mesh — the same sharded program the
+    # live system dispatches per keyframe.
+    from jetracer_orbslam2_tpu.config import BAConfig
+    from jetracer_orbslam2_tpu.parallel.bench_ba import (
+        make_synthetic_ba, time_sharded_ba)
+
+    ba_prob, ba_intr = make_synthetic_ba(n_poses=8, n_landmarks=4096,
+                                         obs_per_lm=6)
+    ba = time_sharded_ba(ba_prob, ba_intr, 1, BAConfig(iters=10), reps=3)
+
     baseline_fps = 60.0   # reference camera/pipeline design rate
     print(json.dumps({
         "metric": "tracking_fps_640x480",
@@ -74,6 +86,7 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),
         "ate_rmse_cm": round(rmse_cm, 2),
+        "ba_ms_per_iter_4096lm": round(ba["ms_per_iter"], 3),
     }))
 
 

@@ -143,21 +143,22 @@ def _local_normal_eq(poses_cw, points_l, obs_kf, obs_lm_local, obs_uv,
     return Hpp, Hll, G, bp, bl, cost
 
 
-def sharded_bundle_adjust(
-    sprob: ShardedBAProblem,
-    intrinsics: Array,
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "cfg"))
+def _sharded_lm_run(
+    poses, points, obs_kf, obs_lm, obs_uv, obs_z, obs_z_valid,
+    obs_valid, fixed, lm_valid, intrinsics, *, mesh: Mesh, axis: str,
     cfg: BAConfig,
-    mesh: Mesh,
-    axis: str = "lm",
 ) -> tuple[Array, Array, Array]:
-    """LM bundle adjustment over the mesh.
+    """The cached, jitted shard_map LM core (module-level so repeated live
+    calls hit the jit cache instead of re-tracing a fresh closure).
 
+    Sharded inputs are GLOBAL arrays of length n*Xb laid out so device d
+    owns [d*Xb, (d+1)*Xb); obs_lm holds SHARD-LOCAL landmark indices.
     Returns (poses T_wc replicated, points sharded, cost trace).
     """
-    n = mesh.shape[axis]
-    P_num = sprob.poses.shape[0]
+    P_num = poses.shape[0]
     huber = cfg.huber_delta
-
     rep = P()
     shd = P(axis)
 
@@ -243,9 +244,133 @@ def sharded_bundle_adjust(
         in_specs=(rep, shd, shd, shd, shd, shd, shd, shd, rep, shd, rep),
         out_specs=(rep, shd, rep),
     )
-    from jetracer_orbslam2_tpu.utils.precision import f32_estimation
+    with jax.default_matmul_precision("float32"):   # estimation path
+        return smapped(
+            poses, points, obs_kf, obs_lm, obs_uv, obs_z, obs_z_valid,
+            obs_valid, fixed, lm_valid, intrinsics)
 
-    return jax.jit(f32_estimation(smapped))(
+
+def sharded_bundle_adjust(
+    sprob: ShardedBAProblem,
+    intrinsics: Array,
+    cfg: BAConfig,
+    mesh: Mesh,
+    axis: str = "lm",
+) -> tuple[Array, Array, Array]:
+    """LM bundle adjustment over the mesh on a host-prepared problem
+    (prepare_sharded_problem).  Returns (poses T_wc replicated, points
+    sharded, cost trace)."""
+    return _sharded_lm_run(
         sprob.poses, sprob.points, sprob.obs_kf, sprob.obs_lm,
         sprob.obs_uv, sprob.obs_z, sprob.obs_z_valid, sprob.obs_valid,
-        sprob.fixed, sprob.lm_valid, intrinsics)
+        sprob.fixed, sprob.lm_valid, intrinsics,
+        mesh=mesh, axis=axis, cfg=cfg)
+
+
+# ---------------------------------------------------------------------------
+# Live-map sharded BA: the jittable layout path used by models/slam.Slam
+# when it owns a device mesh.  No host-side numpy in the loop — landmark
+# round-robin assignment and per-shard edge grouping are argsort/segment_sum
+# programs, so the whole windowed BA (layout + solve + scatter-back) is one
+# compiled graph per mesh size.
+# ---------------------------------------------------------------------------
+
+
+def _interleave(x: Array, n: int) -> Array:
+    """Round-robin redistribution: out[d*Lb + j] = x[j*n + d].
+
+    Landmarks are allocated sequentially (map.insert_keyframe packs new ones
+    at the tail), so BLOCK distribution would pile every live landmark onto
+    shard 0 until the map fills.  Round-robin (owner = slot % n) keeps the
+    shards balanced at every fill level."""
+    L = x.shape[0]
+    return x.reshape(L // n, n, *x.shape[1:]).swapaxes(0, 1).reshape(x.shape)
+
+
+def _deinterleave(x: Array, n: int) -> Array:
+    L = x.shape[0]
+    return x.reshape(n, L // n, *x.shape[1:]).swapaxes(0, 1).reshape(x.shape)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_size", "cfg", "mesh", "axis"))
+def sharded_local_ba(
+    m,                       # models.backend.map.MapState
+    intrinsics: Array,
+    window_size: int,
+    cfg,                     # config.SystemConfig
+    mesh: Mesh,
+    axis: str = "lm",
+):
+    """Windowed BA over the newest keyframes, landmark-sharded on `mesh`.
+
+    Drop-in equivalent of models/slam.local_ba — same window/gauge logic,
+    same per-edge math (models/backend/ba.py) — with the landmark axis and
+    its edges distributed across the mesh and the reduced camera system
+    psum'd (one O(P^2) collective per LM iteration).  An n=1 mesh runs the
+    identical program, so the single-chip and pod paths cannot drift apart.
+
+    Returns (new MapState, n_dropped): edges beyond a shard's static
+    capacity E/n are masked out; n_dropped reports how many (0 in practice —
+    round-robin keeps shards balanced; the caller logs nonzero drops).
+    """
+    from jetracer_orbslam2_tpu.models.backend.ba import BAProblem  # noqa: F401 (docs)
+
+    n = mesh.shape[axis]
+    Kf = m.kf_valid.shape[0]
+    L = m.lm_pos.shape[0]
+    E = m.obs_valid.shape[0]
+    if L % n or E % n:
+        raise ValueError(
+            f"map capacities must divide the mesh: L={L} E={E} n={n}")
+    Lb, Eb = L // n, E // n
+
+    # --- window + gauge (identical to models/slam.local_ba) ---
+    W = window_size
+    newest = m.num_kf - 1
+    window = jnp.clip(newest - W + 1 + jnp.arange(W), 0, Kf - 1)
+    eq = m.obs_kf[:, None] == window[None, :]
+    in_win = jnp.any(eq, axis=1) & m.obs_valid
+    local_kf = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    fixed = jnp.zeros(W, bool).at[0].set(True)
+    fixed = fixed | (window == window[0])
+
+    # --- round-robin landmark layout ---
+    points = _interleave(m.lm_pos, n)
+    lm_valid = _interleave(m.lm_valid, n)
+
+    # --- group edges by owning shard (stable argsort; no host numpy) ---
+    owner = jnp.where(in_win, m.obs_lm % n, n)          # n = discard bucket
+    order = jnp.argsort(owner, stable=True)
+    owner_s = owner[order]
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(owner), owner, num_segments=n + 1)
+    offs = jnp.concatenate([jnp.zeros(1, counts.dtype),
+                            jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(E) - offs[owner_s]
+    keep = (owner_s < n) & (rank < Eb)
+    dest = jnp.where(keep, owner_s * Eb + rank, E)      # E = drop slot
+
+    def scatter(field):
+        # dest == E for dropped/discarded edges; mode="drop" ignores them
+        src = field[order]
+        out = jnp.zeros((E,) + field.shape[1:], field.dtype)
+        return out.at[dest].set(src, mode="drop")
+
+    s_obs_kf = scatter(local_kf)
+    s_obs_lm = scatter((m.obs_lm // n).astype(jnp.int32))   # shard-local idx
+    s_obs_uv = scatter(m.obs_uv)
+    s_obs_z = scatter(m.obs_z)
+    s_obs_zok = scatter(m.obs_z > 0.0)
+    s_obs_ok = scatter(in_win & True)
+    n_dropped = (jnp.sum(in_win) - jnp.sum(s_obs_ok)).astype(jnp.int32)
+
+    new_poses, new_points, _trace = _sharded_lm_run(
+        m.kf_pose[window], points, s_obs_kf, s_obs_lm, s_obs_uv,
+        s_obs_z, s_obs_zok, s_obs_ok, fixed, lm_valid, intrinsics,
+        mesh=mesh, axis=axis, cfg=cfg.ba)
+
+    kf_pose = m.kf_pose.at[window].set(new_poses)
+    lm_pos = _deinterleave(new_points, n)
+    lm_pos = jnp.where(m.lm_valid[:, None], lm_pos, m.lm_pos)
+    return m._replace(kf_pose=kf_pose, lm_pos=lm_pos), n_dropped
