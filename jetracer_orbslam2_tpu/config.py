@@ -136,6 +136,12 @@ class MapConfig:
     kf_min_gap: int = 5                 # frames between keyframes
     kf_max_gap: int = 30                # force a KF after this many frames
     window_size: int = 8                # local-BA keyframe window
+    # landmark culling / observation recycling (map.compact_map): cull
+    # landmarks >= cull_min_age_kf keyframes old with < cull_min_obs
+    # observations whenever a capacity passes compact_at of its budget.
+    cull_min_obs: int = 3
+    cull_min_age_kf: int = 3
+    compact_at: float = 0.8
 
 
 @dataclasses.dataclass(frozen=True)

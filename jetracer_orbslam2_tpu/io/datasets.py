@@ -120,8 +120,16 @@ class TumRGBD:
         self.gt = self._read_groundtruth(
             os.path.join(root, "groundtruth.txt"),
             np.asarray([t for t, _, _ in self.items]))
+        # freiburg-1 defaults; an optional intrinsics.txt ("fx fy cx cy")
+        # beside rgb.txt overrides them (used by re-rendered fixtures and
+        # recalibrated sequences)
         self.intrinsics = np.asarray(
             [525.0, 525.0, 319.5, 239.5], np.float32)
+        intr_path = os.path.join(root, "intrinsics.txt")
+        if os.path.exists(intr_path):
+            with open(intr_path) as f:
+                self.intrinsics = np.asarray(
+                    [float(x) for x in f.read().split()[:4]], np.float32)
         self.baseline = 0.0
 
     @staticmethod

@@ -76,6 +76,11 @@ def build(quiet: bool = True) -> bool:
 
 
 def available() -> bool:
+    """True when the native library is loadable AND not explicitly
+    disabled (JETRACER_DISABLE_NATIVE=1 forces the PIL path — used by
+    tests to prove both decoders agree, and as an escape hatch)."""
+    if os.environ.get("JETRACER_DISABLE_NATIVE"):
+        return False
     return _load() is not None
 
 

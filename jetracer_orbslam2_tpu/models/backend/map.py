@@ -193,6 +193,58 @@ def insert_keyframe(
     return m2, slot_c
 
 
+@jax.jit
+def compact_map(m: MapState, min_obs: Array, min_age_kf: Array) -> MapState:
+    """Landmark culling + observation recycling (fixed shapes, in place).
+
+    Culls landmarks that are old enough (created >= min_age_kf keyframes
+    ago) yet still weakly observed (< min_obs observations) — ORB-SLAM2's
+    map-point culling policy adapted to the fixed-capacity store — then
+    compacts both the landmark table and the observation edge list so freed
+    slots are reusable by insert_keyframe (which allocates from num_lm /
+    num_obs upward).  Without this, a long run saturates max_obs and
+    mapping silently stops (round-1 VERDICT item 6: capacity-drop sites
+    map.py:148-149).
+
+    Everything is argsort/gather: one compiled program, no host work.
+    """
+    newest = m.num_kf - 1
+    L = m.lm_valid.shape[0]
+
+    nobs = jax.ops.segment_sum(
+        m.obs_valid.astype(jnp.float32), m.obs_lm, num_segments=L)
+    age = newest - m.lm_ref_kf
+    cull = m.lm_valid & (nobs < min_obs) & (age >= min_age_kf)
+    lm_keep = m.lm_valid & ~cull
+
+    # --- landmark compaction: kept landmarks pack to the front ---
+    order = jnp.argsort(~lm_keep, stable=True)          # kept first
+    new_idx = jnp.cumsum(lm_keep) - 1                   # old slot -> new slot
+    lm_pos = m.lm_pos[order]
+    lm_desc = m.lm_desc[order]
+    lm_ref_kf = m.lm_ref_kf[order]
+    lm_valid = lm_keep[order]
+    num_lm = jnp.sum(lm_keep).astype(jnp.int32)
+
+    # --- observation compaction: drop edges of culled landmarks, remap ---
+    obs_keep = m.obs_valid & lm_keep[m.obs_lm] & m.kf_valid[m.obs_kf]
+    obs_lm_new = new_idx[m.obs_lm].astype(jnp.int32)
+    oorder = jnp.argsort(~obs_keep, stable=True)
+    obs_valid = obs_keep[oorder]
+    obs_lm = jnp.where(obs_valid, obs_lm_new[oorder], 0)
+    num_obs = jnp.sum(obs_keep).astype(jnp.int32)
+
+    return m._replace(
+        lm_pos=lm_pos, lm_desc=lm_desc, lm_ref_kf=lm_ref_kf,
+        lm_valid=lm_valid, num_lm=num_lm,
+        obs_kf=jnp.where(obs_valid, m.obs_kf[oorder], 0),
+        obs_lm=obs_lm,
+        obs_uv=jnp.where(obs_valid[:, None], m.obs_uv[oorder], 0.0),
+        obs_z=jnp.where(obs_valid, m.obs_z[oorder], 0.0),
+        obs_valid=obs_valid, num_obs=num_obs,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_hamming", "window"))
 @f32_estimation
 def associate_landmarks(

@@ -199,6 +199,7 @@ class Slam:
         self.num_loops = 0
         self.lost_streak = 0
         self.num_relocs = 0
+        self.num_compactions = 0
         self.trajectory: list[np.ndarray] = []   # live (causal) estimates
         self.tracked: list[bool] = []
         # every frame is anchored to its reference keyframe: the FINAL
@@ -228,7 +229,23 @@ class Slam:
             self.m, feats, self.T_wc,
             jnp.int32(self.frame_idx), new_mask, lm_idx, lm_ok)
         self.frames_since_kf = 0
+        self._maybe_compact()
         return slot
+
+    def _maybe_compact(self) -> None:
+        """Recycle map capacity when a budget crosses the compact threshold
+        (landmark culling + observation compaction, map.compact_map) —
+        keeps long sequences mapping forever inside fixed arrays instead of
+        silently saturating."""
+        mc = self.cfg.map
+        obs_cap = self.m.obs_valid.shape[0]
+        lm_cap = self.m.lm_valid.shape[0]
+        if (int(self.m.num_obs) > mc.compact_at * obs_cap
+                or int(self.m.num_lm) > mc.compact_at * lm_cap):
+            self.m = map_mod.compact_map(
+                self.m, jnp.float32(mc.cull_min_obs),
+                jnp.int32(mc.cull_min_age_kf))
+            self.num_compactions += 1
 
     def _local_ba(self) -> MapState:
         """Windowed BA: landmark-sharded over the mesh when one is set
