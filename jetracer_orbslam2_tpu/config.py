@@ -142,6 +142,9 @@ class MapConfig:
     cull_min_obs: int = 3
     cull_min_age_kf: int = 3
     compact_at: float = 0.8
+    # retained loop-closure constraints (KITTI-00-class sequences close
+    # many loops; every pose-graph solve re-applies ALL accepted edges)
+    max_loop_edges: int = 32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +163,9 @@ class BAConfig:
 class PoseGraphConfig:
     iters: int = 20
     damping: float = 1e-6
+    # relative weight of loop-closure edges vs odometry chain edges in the
+    # pose-graph objective (was a hardcoded signature default pre-round-3)
+    loop_weight: float = 4.0
 
 
 @dataclasses.dataclass(frozen=True)

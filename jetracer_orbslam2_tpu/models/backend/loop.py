@@ -131,6 +131,23 @@ def verify(
         key, cfg.ransac_inlier_thresh, cfg.min_inliers)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_estimation
+def retrieve_and_verify(
+    m: MapState, slot: Array, key: Array, cfg: LoopClosureConfig,
+) -> tuple[Array, Array, Array]:
+    """Retrieval + geometric verification fused into one dispatch, so the
+    host scheduler pays a single device->host fetch per keyframe for the
+    whole loop-closure decision (round-2 made two blocking fetches here).
+    Verification runs unconditionally (its RANSAC is a fixed-shape batched
+    kernel, cheap on-device); its verdict is AND-gated by retrieval's.
+
+    Returns (kf_idx (), T_ab (4,4), ok ())."""
+    cand = retrieve(m, slot, cfg.min_sim, cfg.min_kf_gap)
+    ver = verify(m, slot, cand.kf_idx, key, cfg)
+    return cand.kf_idx, ver.T_ab, cand.ok & ver.ok
+
+
 @functools.partial(jax.jit, static_argnames=("thresh", "min_inliers"))
 @f32_estimation
 def verify_features(
@@ -150,17 +167,33 @@ def verify_features(
 @f32_estimation
 def close(
     m: MapState, slot_a: Array, slot_b: Array, T_ab: Array,
-    pg_cfg: PoseGraphConfig, loop_weight: float = 4.0,
+    pg_cfg: PoseGraphConfig,
 ) -> MapState:
-    """Apply a verified loop edge: pose-graph optimize + carry landmarks.
+    """Apply a verified loop edge: persist it, pose-graph optimize over ALL
+    retained loop constraints, carry landmarks.
 
     Edges: odometry chain (k -> k+1 with the current relative pose as the
-    measurement — drift lives in the loop edge discrepancy) + the loop edge
-    b -> a measured T_ba = T_ab^-1 ... expressed as edge (a, b) with
-    measurement T_ab so that residual pulls T_a^-1 T_b toward T_ab.
+    measurement — drift lives in the loop edge discrepancy) + every stored
+    loop edge (i, j) with measurement T_ij so that each residual pulls
+    T_i^-1 T_j toward T_ij.  Persisting edges in MapState means a second
+    lap's closure re-optimizes WITH the first lap's constraint instead of
+    silently discarding it (round-2 weak item 5); the new edge is stored
+    first (fixed-capacity ring: beyond MapConfig.max_loop_edges the oldest
+    edge is overwritten — old loops' corrections stay baked into the chain).
     """
     Kf = m.kf_valid.shape[0]
+    Le = m.loop_valid.shape[0]
     poses0 = m.kf_pose
+
+    # persist the new edge (ring slot)
+    ring = jnp.mod(m.num_loop, Le)
+    m = m._replace(
+        loop_i=m.loop_i.at[ring].set(slot_a.astype(jnp.int32)),
+        loop_j=m.loop_j.at[ring].set(slot_b.astype(jnp.int32)),
+        loop_T=m.loop_T.at[ring].set(T_ab),
+        loop_valid=m.loop_valid.at[ring].set(True),
+        num_loop=m.num_loop + 1,
+    )
 
     # odometry chain edges (slot k -> k+1), valid where both KFs exist
     idx = jnp.arange(Kf - 1)
@@ -168,10 +201,11 @@ def close(
         jax.vmap(geo.pose_inverse)(poses0[:-1]), poses0[1:])
     chain_w = (m.kf_valid[:-1] & m.kf_valid[1:]).astype(jnp.float32)
 
-    edge_i = jnp.concatenate([idx, slot_a[None]])
-    edge_j = jnp.concatenate([idx + 1, slot_b[None]])
-    edge_T = jnp.concatenate([chain_T, T_ab[None]])
-    edge_w = jnp.concatenate([chain_w, jnp.float32(loop_weight)[None]])
+    loop_w = m.loop_valid.astype(jnp.float32) * pg_cfg.loop_weight
+    edge_i = jnp.concatenate([idx, m.loop_i])
+    edge_j = jnp.concatenate([idx + 1, m.loop_j])
+    edge_T = jnp.concatenate([chain_T, m.loop_T])
+    edge_w = jnp.concatenate([chain_w, loop_w])
 
     fixed = jnp.zeros(Kf, bool).at[0].set(True)
     prob = PoseGraphProblem(

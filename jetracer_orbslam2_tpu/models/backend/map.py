@@ -48,10 +48,18 @@ class MapState(NamedTuple):
     obs_uv: Array       # (O, 2) float32 pixel measurement
     obs_z: Array        # (O,) float32 measured camera-frame depth (0 = none)
     obs_valid: Array    # (O,) bool
+    # retained loop-closure constraints: every accepted loop edge persists
+    # so each pose-graph solve re-applies ALL of them (multi-loop sequences
+    # — KITTI-00-class — would otherwise lose earlier loops' constraints)
+    loop_i: Array       # (Le,) int32 query keyframe slot
+    loop_j: Array       # (Le,) int32 matched keyframe slot
+    loop_T: Array       # (Le, 4, 4) verified relative pose T_ij
+    loop_valid: Array   # (Le,) bool
     # counters
     num_kf: Array       # () int32
     num_lm: Array       # () int32
     num_obs: Array      # () int32
+    num_loop: Array     # () int32
 
 
 def init_map(cfg: MapConfig, num_keypoints: int, desc_words: int = 8) -> MapState:
@@ -74,9 +82,15 @@ def init_map(cfg: MapConfig, num_keypoints: int, desc_words: int = 8) -> MapStat
         obs_uv=jnp.zeros((ob, 2), jnp.float32),
         obs_z=jnp.zeros(ob, jnp.float32),
         obs_valid=jnp.zeros(ob, bool),
+        loop_i=jnp.zeros(cfg.max_loop_edges, jnp.int32),
+        loop_j=jnp.zeros(cfg.max_loop_edges, jnp.int32),
+        loop_T=jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                        (cfg.max_loop_edges, 1, 1)),
+        loop_valid=jnp.zeros(cfg.max_loop_edges, bool),
         num_kf=jnp.int32(0),
         num_lm=jnp.int32(0),
         num_obs=jnp.int32(0),
+        num_loop=jnp.int32(0),
     )
 
 

@@ -42,13 +42,20 @@ Array = jax.Array
 
 class FrameReport(NamedTuple):
     """Small per-frame host-visible summary (the reference printed these at
-    buildStream.cpp:657-665; here they are also the scheduler's inputs)."""
+    buildStream.cpp:657-665; here they are also the scheduler's inputs).
+
+    `packed` carries every scalar the host scheduler needs as ONE (20,)
+    f32 array — [tracked, need_kf, num_matches, num_assoc, T_wc.ravel()] —
+    so the per-frame decision costs exactly one device->host fetch (the
+    round-2 loop fetched tracked_ok / need_kf / T_wc separately: three
+    tunnel roundtrips a frame)."""
 
     tracked_ok: Array     # () bool
     num_matches: Array    # () int32 frame-to-frame matches
     num_assoc: Array      # () int32 map landmark associations
     need_kf: Array        # () bool keyframe decision
     T_wc: Array           # (4, 4)
+    packed: Array         # (20,) f32 single-fetch host payload
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -106,12 +113,20 @@ def track_and_associate(
                | (frames_since_kf >= cfg.map.kf_max_gap))
         )
     ) & res.tracked_ok | (~has_map)
+    packed = jnp.concatenate([
+        res.tracked_ok.astype(jnp.float32)[None],
+        need_kf.astype(jnp.float32)[None],
+        res.num_matches.astype(jnp.float32)[None],
+        n_assoc.astype(jnp.float32)[None],
+        T_wc.reshape(16),
+    ])
     report = FrameReport(
         tracked_ok=res.tracked_ok,
         num_matches=res.num_matches,
         num_assoc=n_assoc,
         need_kf=need_kf,
         T_wc=T_wc,
+        packed=packed,
     )
     return res, lm_idx, lm_ok, report
 
@@ -223,62 +238,53 @@ class Slam:
             gray, depth, self.intr, self.cfg.frontend,
             min_depth=t.min_depth, max_depth=t.max_depth)
 
+    def features(self, gray, depth) -> Features:
+        """Public front-end entry: extract this system's Features from an
+        RGB-D pair (for callers that feed process_features directly and
+        also want the keypoints, e.g. the telemetry publisher)."""
+        return self._features(gray, depth)
+
     def _insert_keyframe(self, feats: Features, lm_idx, lm_ok):
+        """Insert a keyframe; returns the DEVICE slot scalar (the host
+        reads it later as part of one packed keyframe-meta fetch)."""
         new_mask = feats.has_point & ~lm_ok
         self.m, slot = map_mod.insert_keyframe(
             self.m, feats, self.T_wc,
             jnp.int32(self.frame_idx), new_mask, lm_idx, lm_ok)
         self.frames_since_kf = 0
-        self._maybe_compact()
         return slot
 
-    def _maybe_compact(self) -> None:
+    def _maybe_compact(self, num_obs: int, num_lm: int) -> None:
         """Recycle map capacity when a budget crosses the compact threshold
         (landmark culling + observation compaction, map.compact_map) —
         keeps long sequences mapping forever inside fixed arrays instead of
-        silently saturating."""
+        silently saturating.  Counters arrive from the packed keyframe-meta
+        fetch (no extra device sync)."""
         mc = self.cfg.map
         obs_cap = self.m.obs_valid.shape[0]
         lm_cap = self.m.lm_valid.shape[0]
-        if (int(self.m.num_obs) > mc.compact_at * obs_cap
-                or int(self.m.num_lm) > mc.compact_at * lm_cap):
+        if (num_obs > mc.compact_at * obs_cap
+                or num_lm > mc.compact_at * lm_cap):
             self.m = map_mod.compact_map(
                 self.m, jnp.float32(mc.cull_min_obs),
                 jnp.int32(mc.cull_min_age_kf))
             self.num_compactions += 1
 
-    def _local_ba(self) -> MapState:
+    def _local_ba(self):
         """Windowed BA: landmark-sharded over the mesh when one is set
         (VERDICT round 1 item 1 — the live map IS the sharded problem),
-        single-device otherwise."""
+        single-device otherwise.  Returns (map, dropped-edges device
+        scalar) without any host sync."""
         if self.mesh is not None:
             from jetracer_orbslam2_tpu.parallel.ba_sharded import (
                 sharded_local_ba)
 
-            m, dropped = sharded_local_ba(
+            return sharded_local_ba(
                 self.m, self.intr, self.cfg.map.window_size, self.cfg,
                 self.mesh)
-            self.ba_edges_dropped += int(dropped)
-            return m
-        return local_ba(
-            self.m, self.intr, self.cfg.map.window_size, self.cfg)
-
-    def _try_loop_close(self, slot) -> bool:
-        lc = self.cfg.loop
-        cand = loop_mod.retrieve(
-            self.m, slot, min_sim=lc.min_sim, min_kf_gap=lc.min_kf_gap)
-        if not bool(cand.ok):
-            return False
-        key = jax.random.fold_in(self.base_key, 10_000 + self.frame_idx)
-        ver = loop_mod.verify(self.m, slot, cand.kf_idx, key, lc)
-        if not bool(ver.ok):
-            return False
-        self.m = loop_mod.close(
-            self.m, slot, cand.kf_idx, ver.T_ab, self.cfg.pose_graph)
-        # current pose rides the corrected newest keyframe
-        self.T_wc = self.m.kf_pose[slot]
-        self.num_loops += 1
-        return True
+        return (local_ba(self.m, self.intr, self.cfg.map.window_size,
+                         self.cfg),
+                jnp.int32(0))
 
     def _try_relocalize(self, feats: Features) -> bool:
         """Re-pose a lost frame against the keyframe DB (retrieval + RANSAC).
@@ -357,8 +363,14 @@ class Slam:
         self.T_wc = res.T_wc
         self.velocity = res.velocity
         self.prev = feats
-        self.trajectory.append(np.asarray(self.T_wc))
-        ok, need_kf = bool(report.tracked_ok), bool(report.need_kf)
+        # ONE device->host fetch per frame: every scheduler decision rides
+        # report.packed (the reference hides device latency with worker
+        # threads, SURVEY §2.3; here the fix is fewer synchronization
+        # points on the critical path)
+        pk = np.asarray(report.packed)
+        ok, need_kf = bool(pk[0] > 0.5), bool(pk[1] > 0.5)
+        T_np = pk[4:].reshape(4, 4).astype(np.float32)
+        self.trajectory.append(T_np)
         self.tracked.append(ok)
 
         if ok:
@@ -371,22 +383,44 @@ class Slam:
 
         if need_kf:
             slot = self._insert_keyframe(feats, lm_idx, lm_ok)
-            self.m = self._local_ba()
+            self.m, ba_dropped = self._local_ba()
             # refresh live pose from the optimized newest keyframe
             self.T_wc = self.m.kf_pose[slot]
             # loop detection runs at EVERY keyframe (ORB-SLAM2 convention):
             # retrieval's min_kf_gap exclusion is the recency gate, and the
             # RANSAC verification is the correctness gate — a cooldown here
             # would let one weak overlap closure shadow the real revisit.
-            self._try_loop_close(slot)
-            self.trajectory[-1] = np.asarray(self.T_wc)
-            self._ref_slot = int(slot)
-            self._ref_pose_np = self.trajectory[-1]
+            # retrieve+verify is one fused dispatch; its verdict, the KF
+            # slot, BA drop count, and the capacity counters come back in
+            # ONE packed fetch.
+            lkey = jax.random.fold_in(self.base_key, 10_000 + self.frame_idx)
+            cand_idx, T_ab, loop_ok = loop_mod.retrieve_and_verify(
+                self.m, slot, lkey, self.cfg.loop)
+            meta = np.asarray(jnp.stack([
+                slot.astype(jnp.float32),
+                ba_dropped.astype(jnp.float32),
+                self.m.num_obs.astype(jnp.float32),
+                self.m.num_lm.astype(jnp.float32),
+                loop_ok.astype(jnp.float32),
+            ]))
+            slot_i = int(meta[0])
+            self.ba_edges_dropped += int(meta[1])
+            if meta[4] > 0.5:
+                self.m = loop_mod.close(
+                    self.m, slot, cand_idx, T_ab, self.cfg.pose_graph)
+                self.num_loops += 1
+                # current pose rides the corrected newest keyframe
+                self.T_wc = self.m.kf_pose[slot]
+            self._maybe_compact(int(meta[2]), int(meta[3]))
+            T_np = np.asarray(self.T_wc)
+            self.trajectory[-1] = T_np
+            self._ref_slot = slot_i
+            self._ref_pose_np = T_np
 
-        T_np = self.trajectory[-1]
         self.frame_ref_kf.append(self._ref_slot)
         self.frame_rel.append(
-            np.linalg.inv(self._ref_pose_np).astype(np.float32) @ T_np)
+            np.linalg.inv(self._ref_pose_np).astype(np.float32)
+            @ self.trajectory[-1])
         self.frame_idx += 1
         self.frames_since_kf += 1
         return report

@@ -94,9 +94,12 @@ def time_sharded_ba(
 
     def run():
         poses, points, trace = sharded_bundle_adjust(sprob, intr, cfg, mesh)
-        # fetch a scalar: forces completion even on tunneled backends where
-        # block_until_ready has been seen returning early (bench.py note)
-        return float(trace[-1]), float(trace[0])
+        # ONE host fetch forces completion even on tunneled backends where
+        # block_until_ready has been seen returning early (bench.py note);
+        # two separate float() fetches cost two ~25 ms tunnel roundtrips
+        # and inflated round-2's ms/iter by ~5 ms.
+        tr = np.asarray(trace)
+        return float(tr[-1]), float(tr[0])
 
     cost_final, cost0 = run()                          # compile + warm
     dts = []

@@ -1,21 +1,29 @@
 """CLI entry: run SLAM or odometry on a dataset directory.
 
     python -m jetracer_orbslam2_tpu.run --dataset /path/to/tum_seq
-    python -m jetracer_orbslam2_tpu.run --dataset /path/to/euroc/mav0 --mode slam
     python -m jetracer_orbslam2_tpu.run --synthetic 100 --mode odometry
+    python -m jetracer_orbslam2_tpu.run --synthetic 100 --mesh 4 --telemetry 9002
 
 Replaces the reference's `main()` process bring-up (src/main.cpp:19-53):
-config -> dataset -> pipeline -> per-frame processing -> report, with
-clean ctrl-C shutdown (the reference's SIGINT path, main.cpp:26-30).
+config -> (distributed init) -> dataset -> pipeline -> per-frame processing
+-> telemetry -> report, with clean ctrl-C shutdown (the reference's SIGINT
+path, main.cpp:26-30).  Every capability the framework has is reachable
+from here — the reference's main() brings up its full system and so does
+this one: the device mesh (--mesh), multi-host bootstrap (--distributed),
+the live WebSocket/BSON telemetry stream the ground-station viewer
+consumes (--telemetry; viewer/index.html), odometry fast path (--mode
+odometry), checkpoint/resume.
 """
 
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
+import logging
 import sys
 import time
+
+log = logging.getLogger("jetracer_orbslam2_tpu")
 
 
 def build_argparser():
@@ -23,79 +31,192 @@ def build_argparser():
     p.add_argument("--dataset", help="TUM / EuRoC mav0 / KITTI sequence dir")
     p.add_argument("--synthetic", type=int, default=0,
                    help="run on N synthetic frames instead of a dataset")
-    p.add_argument("--mode", choices=("odometry", "slam"), default="slam")
+    p.add_argument("--mode", choices=("odometry", "slam"), default="slam",
+                   help="slam = full system (map/BA/loops); odometry = "
+                        "whole-sequence on-device scan (RGB-D only)")
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--checkpoint", help="directory to save the final map")
     p.add_argument("--resume", help="checkpoint directory to start from")
     p.add_argument("--max-keypoints", type=int, default=1024)
     p.add_argument("--levels", type=int, default=4)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the map backend over an N-device mesh "
+                        "(real chips when available, virtual CPU otherwise)")
+    p.add_argument("--distributed", action="store_true",
+                   help="join a multi-host cluster first "
+                        "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID env)")
+    p.add_argument("--telemetry", type=int, default=0, metavar="PORT",
+                   help="serve live BSON telemetry on ws://0.0.0.0:PORT "
+                        "(open viewer/index.html to watch)")
+    p.add_argument("--telemetry-no-image", action="store_true",
+                   help="omit the JPEG image from telemetry frames")
+    p.add_argument("--log-level", default="info",
+                   choices=("debug", "info", "warning", "error"))
     p.add_argument("--json", action="store_true",
                    help="print one JSON result line (for tooling)")
     return p
 
 
-def main(argv=None) -> int:
-    args = build_argparser().parse_args(argv)
-
-    import jax
-    import jax.numpy as jnp
+def _open_source(args):
+    """Resolve the frame source.  Returns (frames() iterator of
+    (gray, depth, right, imu_packet), n, (h, w), intrinsics, baseline, gt)."""
     import numpy as np
-
-    from jetracer_orbslam2_tpu.config import (
-        FrontendConfig, MapConfig, SystemConfig)
-    from jetracer_orbslam2_tpu.evaluation import ate
-    from jetracer_orbslam2_tpu.models.slam import Slam
-    from jetracer_orbslam2_tpu.models.stereo import frontend_stereo
-    from jetracer_orbslam2_tpu.runtime.pipeline import FramePipeline
 
     if args.synthetic:
         from jetracer_orbslam2_tpu.io.synthetic import generate_sequence
 
         n = args.synthetic
         seq = generate_sequence(n_frames=n, shape=(480, 640))
-        h, w = 480, 640
-        intr = seq.intrinsics
-        baseline = 0.0
         gt = np.asarray(seq.poses)
 
         def frames():
             for i in range(n):
                 yield (np.asarray(seq.gray[i]), np.asarray(seq.depth[i]),
                        None, None)
-    elif args.dataset:
-        from jetracer_orbslam2_tpu.io.datasets import open_dataset
 
-        ds = open_dataset(args.dataset)
-        n = len(ds) if not args.max_frames else min(len(ds), args.max_frames)
-        f0 = ds.frame(0)
-        h, w = f0.gray.shape
-        intr = ds.intrinsics
-        baseline = ds.baseline
-        gt = ds.groundtruth[:n] if ds.groundtruth is not None else None
-        # per-frame IMU packets when the dataset ships an IMU (EuRoC imu0)
-        imu_pk = getattr(ds, "imu_packets", lambda: None)()
+        return frames, n, (480, 640), seq.intrinsics, 0.0, gt
 
-        def frames():
-            for i in range(n):
-                fr = ds.frame(i)
-                pk = None
-                if imu_pk is not None:
-                    g, gts, a, gok, aok = imu_pk
-                    pk = (g[i], gts[i], a[i], gok[i], aok[i])
-                yield (fr.gray, fr.depth, fr.right, pk)
-    else:
+    from jetracer_orbslam2_tpu.io.datasets import open_dataset
+
+    ds = open_dataset(args.dataset)
+    n = len(ds) if not args.max_frames else min(len(ds), args.max_frames)
+    f0 = ds.frame(0)
+    gt = ds.groundtruth[:n] if ds.groundtruth is not None else None
+    # per-frame IMU packets when the dataset ships an IMU (EuRoC imu0)
+    imu_pk = getattr(ds, "imu_packets", lambda: None)()
+
+    def frames():
+        for i in range(n):
+            fr = ds.frame(i)
+            pk = None
+            if imu_pk is not None:
+                g, gts, a, gok, aok = imu_pk
+                pk = (g[i], gts[i], a[i], gok[i], aok[i])
+            yield (fr.gray, fr.depth, fr.right, pk)
+
+    return frames, n, f0.gray.shape, ds.intrinsics, ds.baseline, gt
+
+
+def _run_odometry(args, frames, n, hw, intr, gt):
+    """Whole-sequence on-device odometry scan (the bench.py fast path —
+    one compiled program over the full frame stack, no per-frame host
+    round-trips)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from jetracer_orbslam2_tpu.config import FrontendConfig, TrackingConfig
+    from jetracer_orbslam2_tpu.models.odometry import (
+        init_state, odometry_scan)
+
+    h, w = hw
+    fcfg = FrontendConfig(height=h, width=w, num_levels=args.levels,
+                          max_keypoints=args.max_keypoints)
+    tcfg = TrackingConfig()
+    gray = []
+    depth = []
+    for g, d, right, _ in frames():
+        if d is None:
+            log.error("odometry mode needs depth frames (RGB-D dataset or "
+                      "--synthetic); use --mode slam for stereo datasets")
+            return None
+        gray.append(np.asarray(g))
+        depth.append(np.asarray(d))
+    gray = jax.device_put(np.stack(gray))
+    depth = jax.device_put(np.stack(depth))
+
+    t0 = time.perf_counter()
+    state0 = init_state(gray[0], depth[0], jnp.asarray(intr), fcfg, tcfg)
+    _, poses_d, ok = odometry_scan(state0, gray[1:], depth[1:],
+                                   jnp.asarray(intr), fcfg, tcfg)
+    poses = np.concatenate([np.eye(4)[None], np.asarray(poses_d)])
+    wall = time.perf_counter() - t0
+    return {
+        "mode": "odometry",
+        "frames": n,
+        "fps": round(n / wall, 2),
+        "tracked_frac": float(np.mean(np.asarray(ok))),
+    }, poses
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper()),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        stream=sys.stderr)
+
+    if not args.synthetic and not args.dataset:
         print("need --dataset or --synthetic", file=sys.stderr)
         return 2
+
+    if args.distributed:
+        from jetracer_orbslam2_tpu.parallel.mesh import init_distributed
+
+        multi = init_distributed()
+        log.info("distributed init: %s",
+                 "multi-process cluster" if multi else
+                 "single-process fallback")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jetracer_orbslam2_tpu.config import FrontendConfig, SystemConfig
+    from jetracer_orbslam2_tpu.evaluation import ate
+
+    frames, n, hw, intr, baseline, gt = _open_source(args)
+    h, w = hw
+
+    if args.mode == "odometry":
+        res = _run_odometry(args, frames, n, hw, intr, gt)
+        if res is None:
+            return 2
+        report, poses = res
+        if gt is not None and n > 1:
+            r = ate(jnp.asarray(poses[:n]), jnp.asarray(gt[:n]))
+            report["ate_rmse_m"] = round(float(r.rmse), 4)
+        print(json.dumps(report))
+        return 0
+
+    from jetracer_orbslam2_tpu.models.slam import Slam
+    from jetracer_orbslam2_tpu.models.stereo import frontend_stereo
+    from jetracer_orbslam2_tpu.runtime.pipeline import FramePipeline
 
     cfg = SystemConfig(
         frontend=FrontendConfig(
             height=h, width=w, num_levels=args.levels,
             max_keypoints=args.max_keypoints))
-    slam = Slam(cfg, intr)
+
+    mesh = None
+    if args.mesh:
+        from jetracer_orbslam2_tpu.parallel.mesh import virtual_mesh
+
+        mesh = virtual_mesh(args.mesh)
+        log.info("map backend sharded over %d-device mesh (%s)",
+                 args.mesh, mesh.devices.flat[0].platform)
+
+    slam = Slam(cfg, intr, mesh=mesh)
     if args.resume:
         from jetracer_orbslam2_tpu.runtime.checkpoint import load_checkpoint
 
         slam.m, _ = load_checkpoint(args.resume)
+        log.info("resumed map: %d keyframes, %d landmarks",
+                 int(slam.m.num_kf), int(slam.m.num_lm))
+
+    publisher = None
+    server = None
+    if args.telemetry:
+        from jetracer_orbslam2_tpu.runtime.telemetry import (
+            TelemetryPublisher, WebSocketServer)
+
+        server = WebSocketServer(port=args.telemetry, host="0.0.0.0",
+                                 rate_bytes_per_s=cfg.runtime
+                                 .telemetry_rate_bytes).start()
+        publisher = TelemetryPublisher(
+            server, send_image=not args.telemetry_no_image)
+        log.info("telemetry on ws://0.0.0.0:%d (viewer/index.html)",
+                 server.port)
 
     is_stereo = baseline > 0.0
     t_cfg = cfg.tracking
@@ -113,20 +234,27 @@ def main(argv=None) -> int:
         for gray, depth, right, imu_pkt in pipe:
             if is_stereo:
                 feats = stereo_feats(gray, right)
-                slam.process_features(feats, imu_packet=imu_pkt)
             else:
-                slam.process_frame(jnp.asarray(gray), jnp.asarray(depth),
-                                   imu_packet=imu_pkt)
+                feats = slam.features(jnp.asarray(gray), jnp.asarray(depth))
+            slam.process_features(feats, imu_packet=imu_pkt)
+            if publisher is not None:
+                att = np.degrees(slam.attitude)
+                publisher.publish(
+                    np.asarray(gray), np.asarray(feats.xy),
+                    np.asarray(feats.valid), euler_deg=att,
+                    pose=slam.trajectory[-1])
             count += 1
             if count % 50 == 0:
-                print(f"[{count}/{n}] kf={int(slam.m.num_kf)} "
-                      f"lm={int(slam.m.num_lm)}", file=sys.stderr)
+                log.info("[%d/%d] kf=%d lm=%d loops=%d", count, n,
+                         int(slam.m.num_kf), int(slam.m.num_lm),
+                         slam.num_loops)
     except KeyboardInterrupt:
-        print("interrupted — reporting partial run", file=sys.stderr)
+        log.warning("interrupted — reporting partial run")
     wall = time.perf_counter() - t0
 
     out = slam.result()
     report = {
+        "mode": "slam",
         "frames": count,
         "fps": round(count / wall, 2),
         "keyframes": out.num_keyframes,
@@ -136,6 +264,13 @@ def main(argv=None) -> int:
         "tracked_frac": float(np.mean(out.tracked)),
         "attitude_rad": [round(float(x), 4) for x in slam.attitude],
     }
+    if mesh is not None:
+        report["mesh_devices"] = int(args.mesh)
+        report["ba_edges_dropped"] = slam.ba_edges_dropped
+    if server is not None:
+        report["telemetry_sent"] = server.sent_frames
+        report["telemetry_dropped"] = server.dropped_frames
+        server.close()
     if gt is not None and count > 1:
         r = ate(jnp.asarray(out.poses[:count]), jnp.asarray(gt[:count]))
         report["ate_rmse_m"] = round(float(r.rmse), 4)
