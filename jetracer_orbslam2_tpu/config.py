@@ -91,8 +91,12 @@ class CameraConfig:
     cy: float = 239.5
     width: int = 640
     height: int = 480
-    # Brown-Conrady: k1, k2, p1, p2, k3 (zeros = plain pinhole)
+    # distortion coefficients; meaning depends on distortion_model:
+    #   brown_conrady: k1, k2, p1, p2, k3 (zeros = plain pinhole)
+    #   ftheta:        w (FOV parameter), rest ignored
+    # (the two models the reference supports, src/cuda/cuda-align.cu:60-109)
     distortion: Tuple[float, float, float, float, float] = (0.0,) * 5
+    distortion_model: str = "brown_conrady"
     depth_scale: float = 1.0 / 5000.0   # TUM PNG-depth convention
     baseline: float = 0.0               # stereo baseline [m]; 0 = mono/RGB-D
 

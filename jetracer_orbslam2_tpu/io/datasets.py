@@ -199,9 +199,34 @@ class EurocStereo:
                 self.pairs.append((t, name, self.right[j][1]))
         self.intrinsics = np.asarray(intrinsics, np.float32)
         self.baseline = baseline
+        # cam0/sensor.yaml overrides (the EuRoC distribution format):
+        #   intrinsics: [fu, fv, cu, cv]      and optionally
+        #   baseline: b                        (non-standard, fixtures)
+        yaml_path = os.path.join(root, "cam0", "sensor.yaml")
+        if os.path.exists(yaml_path):
+            intr, base = self._parse_sensor_yaml(yaml_path)
+            if intr is not None:
+                self.intrinsics = intr
+            if base is not None:
+                self.baseline = base
         self.gt = self._read_groundtruth(
             os.path.join(root, "state_groundtruth_estimate0", "data.csv"),
             np.asarray([t for t, _, _ in self.pairs]))
+
+    @staticmethod
+    def _parse_sensor_yaml(path):
+        """Minimal line parser for the two fields we consume (no YAML dep)."""
+        intr = base = None
+        with open(path) as f:
+            for line in f:
+                s = line.strip()
+                if s.startswith("intrinsics:"):
+                    vals = s.split("[", 1)[1].split("]")[0].split(",")
+                    intr = np.asarray([float(x) for x in vals[:4]],
+                                      np.float32)
+                elif s.startswith("baseline:"):
+                    base = float(s.split(":", 1)[1])
+        return intr, base
 
     @staticmethod
     def _read_csv(path):

@@ -85,16 +85,25 @@ def process_accel(state: ImuState, accel: Array) -> ImuState:
 
 
 @jax.jit
-def process_packet(
+def process_packet_with_delta(
     state: ImuState,
     gyro: Array,       # (N, 3) rad/s
     gyro_ts: Array,    # (N,) relative s
     accel: Array,      # (M, 3) m/s^2
     gyro_valid: Array,   # (N,) bool (fixed-size packet with mask)
     accel_valid: Array,  # (M,) bool
-) -> ImuState:
+) -> tuple[ImuState, Array]:
     """Fold a fixed-size batch of IMU samples into the state (one dispatch
-    per camera frame; reference handled each 200 Hz event on the bus)."""
+    per camera frame; reference handled each 200 Hz event on the bus).
+
+    Also returns delta_w (3,): the gyro-integrated body rotation vector
+    over this packet, i.e. the rotation between the previous and current
+    camera frame — the IMU-aided motion prior the tracker consumes
+    (models/slam.track_and_associate).  The reference attaches attitude to
+    every frame (SlamGpuPipeline.cpp:154) but never feeds it back into
+    tracking; we do."""
+
+    theta_before = state.theta
 
     def gyro_step(s, x):
         g, ts, v = x
@@ -103,6 +112,7 @@ def process_packet(
         return s, None
 
     state, _ = jax.lax.scan(gyro_step, state, (gyro, gyro_ts, gyro_valid))
+    delta_w = state.theta - theta_before
 
     def accel_step(s, x):
         a, v = x
@@ -111,4 +121,12 @@ def process_packet(
         return s, None
 
     state, _ = jax.lax.scan(accel_step, state, (accel, accel_valid))
+    return state, delta_w
+
+
+def process_packet(state: ImuState, gyro, gyro_ts, accel, gyro_valid,
+                   accel_valid) -> ImuState:
+    """Attitude-only wrapper around process_packet_with_delta."""
+    state, _ = process_packet_with_delta(
+        state, gyro, gyro_ts, accel, gyro_valid, accel_valid)
     return state

@@ -66,6 +66,8 @@ def track_and_associate(
     m: MapState,
     T_w_prev: Array,
     velocity: Array,
+    imu_delta_w: Array,
+    imu_ok: Array,
     frames_since_kf: Array,
     intrinsics: Array,
     key: Array,
@@ -73,8 +75,17 @@ def track_and_associate(
 ) -> tuple[tracking.TrackResult, Array, Array, FrameReport]:
     """One SLAM tracking step: odometry + map association + KF decision.
 
+    imu_delta_w (3,) / imu_ok (): gyro-integrated body rotation between the
+    previous and current frame.  When present it REPLACES the rotation part
+    of the constant-velocity prior — during erratic motion (or a camera
+    blackout) the gyro knows the turn the motion model cannot; the
+    translation prior stays constant-velocity.  Assumes identity camera-IMU
+    rotation (the reference's implicit convention, SlamGpuPipeline.cpp:154).
+
     Returns (track result, lm_idx (K,), lm_ok (K,), report).
     """
+    vel_imu = geo.pose_from_rt(geo.so3_exp(imu_delta_w), velocity[:3, 3])
+    velocity = jnp.where(imu_ok, vel_imu, velocity)
     res = tracking.track_rgbd(
         prev, curr, T_w_prev, velocity, intrinsics, key, cfg.tracking)
 
@@ -229,8 +240,12 @@ class Slam:
         self._ref_pose_np = np.eye(4, dtype=np.float32)
         # IMU attitude rides alongside the visual pipeline, exactly as the
         # reference attaches its complementary-filter theta to every frame
-        # (SlamGpuPipeline.cpp:154, streamed at WebSocketCom.cpp:164-169).
+        # (SlamGpuPipeline.cpp:154, streamed at WebSocketCom.cpp:164-169) —
+        # and, unlike the reference, the gyro also feeds the tracker's
+        # motion prior (track_and_associate imu_delta_w).
         self.imu_state = imu_mod.init_state()
+        self._imu_delta_w = jnp.zeros(3, jnp.float32)
+        self._imu_delta_ok = False
 
     def _features(self, gray, depth) -> Features:
         t = self.cfg.tracking
@@ -315,11 +330,13 @@ class Slam:
     def process_imu(self, packet) -> None:
         """Fold one per-frame IMU packet (gyro, gyro_ts, accel, gyro_valid,
         accel_valid — io/datasets.build_imu_packets layout) into the
-        attitude state.  One jitted dispatch per camera frame."""
+        attitude state and latch the inter-frame gyro rotation for the
+        tracker's motion prior.  One jitted dispatch per camera frame."""
         g, gts, a, gok, aok = packet
-        self.imu_state = imu_mod.process_packet(
+        self.imu_state, self._imu_delta_w = imu_mod.process_packet_with_delta(
             self.imu_state, jnp.asarray(g), jnp.asarray(gts),
             jnp.asarray(a), jnp.asarray(gok), jnp.asarray(aok))
+        self._imu_delta_ok = True
 
     @property
     def attitude(self) -> np.ndarray:
@@ -359,7 +376,9 @@ class Slam:
         key = jax.random.fold_in(self.base_key, self.frame_idx)
         res, lm_idx, lm_ok, report = track_and_associate(
             self.prev, feats, self.m, self.T_wc, self.velocity,
+            self._imu_delta_w, jnp.asarray(self._imu_delta_ok),
             jnp.int32(self.frames_since_kf), self.intr, key, self.cfg)
+        self._imu_delta_ok = False    # consume the prior (one per packet)
         self.T_wc = res.T_wc
         self.velocity = res.velocity
         self.prev = feats

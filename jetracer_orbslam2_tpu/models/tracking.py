@@ -56,6 +56,55 @@ class TrackResult(NamedTuple):
     inlier_mask: Array  # (K,) bool inliers among prev keypoints
 
 
+def refine_pose_reprojection(
+    T0: Array, X_src: Array, uv_dst: Array, z_dst: Array, w: Array,
+    intrinsics: Array, iters: int = 5, huber_px: float = 2.0,
+) -> Array:
+    """Motion-only Gauss-Newton: refine T (dst <- src) so that the known 3D
+    points X_src project onto their measured pixels uv_dst (plus a depth
+    row anchoring scale where z_dst > 0).
+
+    The 3D-3D Kabsch consensus is limited by stereo/RGB-D depth noise
+    (sigma_z grows as z^2); pixel measurements are unbiased at +-0.5 px, so
+    a reprojection polish on the RANSAC inliers is the standard motion-only
+    BA step (ORB-SLAM2 Tracking::TrackWithMotionModel does exactly this).
+    Residual/Jacobian math matches models/backend/ba.py with the landmark
+    block frozen.
+    """
+    fx, fy = intrinsics[0], intrinsics[1]
+    wz_row = jnp.where(z_dst > 1e-3, fx / jnp.maximum(z_dst, 0.1), 0.0)
+
+    def step(T, _):
+        p = geo.transform_points(T, X_src[None])[0]        # (K, 3)
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        zc = jnp.maximum(z, 1e-6)
+        iz = 1.0 / zc
+        u = fx * x * iz + intrinsics[2]
+        v = fy * y * iz + intrinsics[3]
+        r = jnp.stack([u - uv_dst[:, 0], v - uv_dst[:, 1],
+                       wz_row * (z - z_dst)], -1)          # (K, 3)
+        wk = w * (z > 1e-3)
+        # IRLS Huber on the pixel norm
+        n = jnp.linalg.norm(r, axis=-1)
+        wk = wk * jnp.minimum(1.0, huber_px / jnp.maximum(n, 1e-9))
+        zero = jnp.zeros_like(iz)
+        J_proj = jnp.stack([
+            jnp.stack([fx * iz, zero, -fx * x * iz * iz], -1),
+            jnp.stack([zero, fy * iz, -fy * y * iz * iz], -1),
+            jnp.stack([zero, zero, wz_row], -1),
+        ], 1)                                              # (K, 3, 3)
+        I3 = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), p.shape[:1] + (3, 3))
+        J_pose = jnp.concatenate([I3, -geo.hat(p)], -1)    # (K, 3, 6)
+        J = jnp.einsum("kij,kjm->kim", J_proj, J_pose)     # (K, 3, 6)
+        H = jnp.einsum("k,kri,krj->ij", wk, J, J) + 1e-6 * jnp.eye(6)
+        b = -jnp.einsum("k,kri,kr->i", wk, J, r)
+        dx = jnp.linalg.solve(H, b)
+        return geo.se3_exp(dx) @ T, None
+
+    T, _ = jax.lax.scan(step, T0, None, length=iters)
+    return T
+
+
 def ransac_kabsch(
     src: Array,
     dst: Array,
@@ -176,7 +225,15 @@ def track_rgbd(
         min_inliers=cfg.min_inliers,
     )
     ok = rr.ok & (num_matches >= cfg.min_matches)
-    T_prev_curr = jnp.where(ok, rr.T, velocity)  # fall back to motion model
+    # motion-only reprojection polish on the consensus set: pixel
+    # measurements are unbiased at +-0.5 px while 3D depth noise grows as
+    # z^2, so the final pose comes from minimizing reprojection (+ depth
+    # anchor) over the RANSAC inliers rather than from 3D-3D Kabsch alone
+    w_in = (rr.inliers & pair_ok).astype(jnp.float32)
+    z_prev = jnp.where(prev.has_point, prev.points[:, 2], 0.0)
+    T_ref = refine_pose_reprojection(
+        rr.T, dst_pts, prev.xy, z_prev, w_in, intrinsics)
+    T_prev_curr = jnp.where(ok, T_ref, velocity)  # fall back to motion model
     T_w_curr = T_w_prev @ T_prev_curr
     new_velocity = jnp.where(ok, T_prev_curr, velocity)
     return TrackResult(

@@ -178,30 +178,68 @@ def undistort_brown_conrady(xy: Array, dist: Array, iters: int = 8) -> Array:
     return jax.lax.fori_loop(0, iters, body, xy)
 
 
-def project(points: Array, intrinsics: Array, dist: Array | None = None) -> Array:
+def distort_ftheta(xy: Array, dist: Array) -> Array:
+    """FTheta (equidistant fisheye) distortion on normalized coords.
+
+    dist[0] = w, the FOV parameter: a ray at normalized radius r lands at
+    distorted radius rd = atan(2 r tan(w/2)) / w.  This is the second
+    distortion model the reference supports in its align kernels
+    (src/cuda/cuda-align.cu:60-109, RS2_DISTORTION_FTHETA) and the one
+    round-2 flagged missing."""
+    w = jnp.maximum(dist[0], 1e-6)
+    x, y = xy[..., 0], xy[..., 1]
+    r = jnp.sqrt(x * x + y * y)
+    r_safe = jnp.maximum(r, 1e-9)
+    rd = jnp.arctan(2.0 * r_safe * jnp.tan(w * 0.5)) / w
+    s = rd / r_safe
+    return xy * s[..., None]
+
+
+def undistort_ftheta(xy: Array, dist: Array) -> Array:
+    """Exact inverse of distort_ftheta (closed form)."""
+    w = jnp.maximum(dist[0], 1e-6)
+    x, y = xy[..., 0], xy[..., 1]
+    rd = jnp.sqrt(x * x + y * y)
+    rd_safe = jnp.maximum(rd, 1e-9)
+    r = jnp.tan(rd_safe * w) / (2.0 * jnp.tan(w * 0.5))
+    s = r / rd_safe
+    return xy * s[..., None]
+
+
+_DISTORT = {"brown_conrady": distort_brown_conrady, "ftheta": distort_ftheta}
+_UNDISTORT = {"brown_conrady": undistort_brown_conrady,
+              "ftheta": undistort_ftheta}
+
+
+def project(points: Array, intrinsics: Array, dist: Array | None = None,
+            model: str = "brown_conrady") -> Array:
     """Camera-frame 3D (..., 3) -> pixel coords (..., 2).
 
     `intrinsics` = [fx, fy, cx, cy]. Points behind the camera project to
     whatever z<=0 gives; callers mask with `points[..., 2] > 0`.
+    `model`: "brown_conrady" or "ftheta" (applied when dist is given —
+    the two models the reference's align kernels support,
+    src/cuda/cuda-align.cu:60-109).
     """
     fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
     z = points[..., 2]
     safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     xy = points[..., :2] / safe_z[..., None]
     if dist is not None:
-        xy = distort_brown_conrady(xy, dist)
+        xy = _DISTORT[model](xy, dist)
     return jnp.stack([xy[..., 0] * fx + cx, xy[..., 1] * fy + cy], -1)
 
 
 def deproject(pixels: Array, depth: Array, intrinsics: Array,
-              dist: Array | None = None) -> Array:
+              dist: Array | None = None,
+              model: str = "brown_conrady") -> Array:
     """Pixel coords (..., 2) + depth (...) -> camera-frame 3D (..., 3)."""
     fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
     x = (pixels[..., 0] - cx) / fx
     y = (pixels[..., 1] - cy) / fy
     xy = jnp.stack([x, y], -1)
     if dist is not None:
-        xy = undistort_brown_conrady(xy, dist)
+        xy = _UNDISTORT[model](xy, dist)
     return jnp.stack([xy[..., 0] * depth, xy[..., 1] * depth, depth], -1)
 
 

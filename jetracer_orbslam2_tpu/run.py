@@ -227,11 +227,18 @@ def main(argv=None) -> int:
             float(baseline), cfg.frontend,
             max_depth=t_cfg.max_depth if t_cfg.max_depth > 8 else 80.0)
 
+    from jetracer_orbslam2_tpu.runtime.liveness import Watchdog
+
+    # liveness probe (reference PingPong.cpp:27-81): flags a wedged device
+    # dispatch / stuck source; generous timeout — first compiles are slow
+    watchdog = Watchdog(timeout_s=180.0).start()
+
     pipe = FramePipeline(frames(), capacity=8, num_workers=2)
     t0 = time.perf_counter()
     count = 0
     try:
         for gray, depth, right, imu_pkt in pipe:
+            watchdog.beat()
             if is_stereo:
                 feats = stereo_feats(gray, right)
             else:
@@ -251,6 +258,7 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         log.warning("interrupted — reporting partial run")
     wall = time.perf_counter() - t0
+    watchdog.close()
 
     out = slam.result()
     report = {
@@ -263,6 +271,7 @@ def main(argv=None) -> int:
         "relocs": out.num_relocs,
         "tracked_frac": float(np.mean(out.tracked)),
         "attitude_rad": [round(float(x), 4) for x in slam.attitude],
+        "watchdog_stalls": watchdog.stalls,
     }
     if mesh is not None:
         report["mesh_devices"] = int(args.mesh)

@@ -225,15 +225,28 @@ class TelemetryPublisher:
     (WebSocketCom.cpp:161-187) from SLAM outputs and broadcasts it."""
 
     def __init__(self, server: WebSocketServer, send_image: bool = True,
-                 jpeg_quality: int = 90):
+                 jpeg_quality: int = 90, burn_overlay: bool = False):
+        """burn_overlay: raster the keypoint dots into the image on-device
+        before JPEG (the reference's server-side overlay,
+        post_processing.cu:45-70); off by default because the shipped
+        viewer composites the overlay client-side from keypoints_x/y."""
         self.server = server
         self.send_image = send_image
         self.jpeg_quality = jpeg_quality
+        self.burn_overlay = burn_overlay
 
     def publish(self, gray: np.ndarray, keypoints_xy: np.ndarray,
                 valid: np.ndarray, euler_deg=(0, 0, 0),
                 pose: Optional[np.ndarray] = None) -> bool:
         h, w = gray.shape
+        if self.burn_overlay and self.send_image:
+            import jax.numpy as jnp
+
+            from jetracer_orbslam2_tpu.ops.overlay import overlay_keypoints
+
+            gray = np.asarray(overlay_keypoints(
+                jnp.asarray(gray, jnp.float32), jnp.asarray(keypoints_xy),
+                jnp.asarray(valid)))
         kx = np.ascontiguousarray(
             keypoints_xy[valid, 0].astype(np.int16))
         ky = np.ascontiguousarray(

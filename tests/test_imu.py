@@ -168,3 +168,51 @@ def test_imu_packets_absent_returns_none(tmp_path):
         with open(os.path.join(root, cam, "data.csv"), "w") as f:
             f.write("#ts,name\n1000000000,a.png\n")
     assert EurocStereo(root).imu_packets() is None
+
+def test_imu_rotation_prior_recovers_kinked_blackout():
+    """IMU-aided tracking (round-3): the gyro-integrated rotation replaces
+    the constant-velocity prior's rotation.  During a camera blackout that
+    contains a turn, the blind motion model free-runs STRAIGHT and never
+    re-locks (relocalization disabled to isolate the prior), while the
+    gyro prior follows the turn and tracking resumes on the first clean
+    frame.  The reference attaches attitude to every frame
+    (SlamGpuPipeline.cpp:154) but never uses it; we close that loop."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from jetracer_orbslam2_tpu.config import (
+        FrontendConfig, RelocConfig, SystemConfig, TrackingConfig)
+    from jetracer_orbslam2_tpu.evaluation import ate
+    from jetracer_orbslam2_tpu.models.slam import Slam
+    from test_loop_closure import _kinked_blackout_sequence
+
+    n, black = 60, slice(30, 35)
+    gray, depth, gt_poses, intr = _kinked_blackout_sequence(n, black)
+    g, gts, a, gok, aok = imu_from_poses(gt_poses, fps=30.0, rate=200.0)
+    cfg = SystemConfig(
+        frontend=FrontendConfig(height=180, width=240, num_levels=3,
+                                max_keypoints=512),
+        tracking=TrackingConfig(match_window=16.0),
+        reloc=RelocConfig(min_sim=2.0),          # reloc OFF: isolate the prior
+    )
+
+    def run(with_imu):
+        slam = Slam(cfg, intr)
+        for i in range(n):
+            pk = (g[i], gts[i], a[i], gok[i], aok[i]) if with_imu else None
+            slam.process_frame(gray[i], depth[i], imu_packet=pk)
+        out = slam.result()
+        tail = slice(40, n)
+        r = ate(jnp.asarray(out.poses[tail]), gt_poses[tail])
+        return out, float(r.rmse)
+
+    out_imu, rmse_imu = run(True)
+    out_blind, rmse_blind = run(False)
+    # the blackout loses both
+    assert (~out_imu.tracked[black]).any()
+    # with the gyro prior, tracking relocks after the blackout...
+    assert out_imu.tracked[45:].all(), out_imu.tracked[35:]
+    # ...and the tail is dramatically better than the blind motion model
+    assert rmse_imu < 0.5 * rmse_blind, (rmse_imu, rmse_blind)
+    assert rmse_imu < 0.1, rmse_imu
