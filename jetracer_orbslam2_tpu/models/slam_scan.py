@@ -1,0 +1,218 @@
+"""Whole-sequence SLAM as ONE compiled device program.
+
+`models/slam.Slam` is the online system: a host scheduler that reads one
+packed report per frame and decides what to dispatch — the right shape for
+a live sensor, but on a remote/tunneled accelerator every frame pays one
+host<->device round trip (BASELINE.md round 3: ~24 ms on this tunnel,
+capping online SLAM at ~24 fps while pure odometry does 324 fps).
+
+For dataset replay none of those host decisions are needed at runtime:
+every branch the scheduler takes (keyframe insert, windowed BA, loop
+retrieve/verify/close, relocalization) is a fixed-shape program, so the
+WHOLE SLAM system rolls into a `lax.scan` over the frame stack with
+`lax.cond` picking the keyframe/reloc branches on device.  Zero host
+round trips per frame; the reference needed three worker threads and six
+stream syncs per frame to hide far smaller latencies
+(src/SlamGpuPipeline/buildStream.cpp:345-666).
+
+Differences from the host-loop system (documented, deliberate):
+  * map compaction does not run mid-scan — size MapConfig capacities for
+    the sequence (the host loop remains the way to run unbounded streams);
+  * the mesh-sharded BA path is not used inside the scan (single-device
+    windowed BA; shard the scan itself over frames/batch when that
+    matters).
+Everything else — thresholds, gating, RNG derivation, trajectory
+convention (frames ride their reference keyframe's optimized pose) — is
+the same math as models/slam.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jetracer_orbslam2_tpu.config import SystemConfig
+from jetracer_orbslam2_tpu.models import slam as slam_mod
+from jetracer_orbslam2_tpu.models.backend import loop as loop_mod
+from jetracer_orbslam2_tpu.models.backend import map as map_mod
+from jetracer_orbslam2_tpu.models.backend.map import MapState
+from jetracer_orbslam2_tpu.models.frontend import Features, frontend_gray_depth
+from jetracer_orbslam2_tpu.ops import geometry as geo
+
+Array = jax.Array
+
+
+class ScanState(NamedTuple):
+    m: MapState
+    prev: Features
+    T_wc: Array            # (4, 4)
+    velocity: Array        # (4, 4)
+    frames_since_kf: Array  # () int32
+    lost_streak: Array     # () int32
+    frame_idx: Array       # () int32
+    ref_slot: Array        # () int32 reference keyframe of the live frame
+    num_loops: Array       # () int32
+    num_relocs: Array      # () int32
+    base_key: Array
+
+
+class ScanOutput(NamedTuple):
+    """Per-frame scan emissions (stacked to length N by lax.scan)."""
+
+    ref_slot: Array        # (N,) int32
+    T_rel: Array           # (N, 4, 4) pose relative to ref keyframe AT EMIT
+    tracked: Array         # (N,) bool
+    is_kf: Array           # (N,) bool
+
+
+def _features(gray, depth, intrinsics, cfg: SystemConfig) -> Features:
+    t = cfg.tracking
+    return frontend_gray_depth(
+        gray, depth, intrinsics, cfg.frontend,
+        min_depth=t.min_depth, max_depth=t.max_depth)
+
+
+def init_scan_state(
+    gray0: Array, depth0: Array, intrinsics: Array, cfg: SystemConfig,
+    seed: int = 0,
+) -> ScanState:
+    """Bootstrap: frame 0 becomes the first keyframe (all depth keypoints
+    spawn landmarks), exactly as models/slam.Slam's first frame."""
+    feats = _features(gray0, depth0, intrinsics, cfg)
+    m = map_mod.init_map(cfg.map, cfg.frontend.max_keypoints,
+                         cfg.frontend.num_descriptor_words)
+    k = feats.xy.shape[0]
+    eye = jnp.eye(4, dtype=jnp.float32)
+    m, slot = map_mod.insert_keyframe(
+        m, feats, eye, jnp.int32(0), feats.has_point,
+        jnp.zeros(k, jnp.int32), jnp.zeros(k, bool))
+    return ScanState(
+        m=m, prev=feats, T_wc=eye, velocity=eye,
+        frames_since_kf=jnp.int32(0), lost_streak=jnp.int32(0),
+        frame_idx=jnp.int32(1), ref_slot=slot,
+        num_loops=jnp.int32(0), num_relocs=jnp.int32(0),
+        base_key=jax.random.PRNGKey(seed),
+    )
+
+
+def _step(state: ScanState, gray, depth, imu, intrinsics,
+          cfg: SystemConfig) -> tuple[ScanState, tuple]:
+    feats = _features(gray, depth, intrinsics, cfg)
+    imu_delta_w, imu_ok = imu
+    key = jax.random.fold_in(state.base_key, state.frame_idx)
+    res, lm_idx, lm_ok, report = slam_mod.track_and_associate(
+        state.prev, feats, state.m, state.T_wc, state.velocity,
+        imu_delta_w, imu_ok, state.frames_since_kf, intrinsics, key, cfg)
+    T_wc = res.T_wc
+    velocity = res.velocity
+    tracked = report.tracked_ok
+
+    lost_streak = jnp.where(tracked, 0, state.lost_streak + 1)
+
+    # --- relocalization branch (models/slam.Slam._try_relocalize) --------
+    def reloc(op):
+        m, feats, T_wc, velocity = op
+        rc = cfg.reloc
+        gdesc = map_mod.global_descriptor(feats.desc, feats.valid)
+        cand = loop_mod.retrieve_global(m, gdesc, jnp.float32(rc.min_sim))
+        rkey = jax.random.fold_in(state.base_key, 20_000 + state.frame_idx)
+        ver = loop_mod.verify_features(
+            m, feats.desc, feats.has_point, feats.points, cand.kf_idx,
+            rkey, rc.ransac_inlier_thresh, rc.min_inliers)
+        ok = cand.ok & ver.ok
+        T_new = m.kf_pose[cand.kf_idx] @ geo.pose_inverse(ver.T_ab)
+        T_wc = jnp.where(ok, T_new, T_wc)
+        velocity = jnp.where(ok, jnp.eye(4, dtype=jnp.float32), velocity)
+        return T_wc, velocity, jnp.where(ok, 0, lost_streak), ok
+
+    def no_reloc(op):
+        _, _, T_wc, velocity = op
+        return T_wc, velocity, lost_streak, jnp.asarray(False)
+
+    try_reloc = (~tracked) & (lost_streak >= cfg.reloc.after_frames)
+    T_wc, velocity, lost_streak, relocd = jax.lax.cond(
+        try_reloc, reloc, no_reloc, (state.m, feats, T_wc, velocity))
+
+    # --- keyframe branch: insert + windowed BA + loop closure ------------
+    def kf_branch(op):
+        m, feats, T_wc, lm_idx, lm_ok = op
+        new_mask = feats.has_point & ~lm_ok
+        m, slot = map_mod.insert_keyframe(
+            m, feats, T_wc, state.frame_idx, new_mask, lm_idx, lm_ok)
+        m = slam_mod.local_ba(m, intrinsics, cfg.map.window_size, cfg)
+        T_wc = m.kf_pose[slot]
+        lkey = jax.random.fold_in(state.base_key, 10_000 + state.frame_idx)
+        cand_idx, T_ab, loop_ok = loop_mod.retrieve_and_verify(
+            m, slot, lkey, cfg.loop)
+        m = jax.lax.cond(
+            loop_ok,
+            lambda mm: loop_mod.close(mm, slot, cand_idx, T_ab,
+                                      cfg.pose_graph),
+            lambda mm: mm, m)
+        T_wc = m.kf_pose[slot]
+        return m, T_wc, slot, loop_ok
+
+    def no_kf(op):
+        m, _, T_wc, _, _ = op
+        return m, T_wc, state.ref_slot, jnp.asarray(False)
+
+    need_kf = report.need_kf
+    m, T_wc, ref_slot, looped = jax.lax.cond(
+        need_kf, kf_branch, no_kf,
+        (state.m, feats, T_wc, lm_idx, lm_ok))
+
+    T_rel = geo.pose_inverse(m.kf_pose[ref_slot]) @ T_wc
+    new_state = ScanState(
+        m=m, prev=feats, T_wc=T_wc, velocity=velocity,
+        frames_since_kf=jnp.where(need_kf, 1,
+                                  state.frames_since_kf + 1),
+        lost_streak=lost_streak,
+        frame_idx=state.frame_idx + 1,
+        ref_slot=ref_slot,
+        num_loops=state.num_loops + looped.astype(jnp.int32),
+        num_relocs=state.num_relocs + relocd.astype(jnp.int32),
+        base_key=state.base_key,
+    )
+    return new_state, (ref_slot, T_rel, tracked, need_kf)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def slam_scan(
+    state: ScanState, grays: Array, depths: Array, intrinsics: Array,
+    cfg: SystemConfig,
+    imu_delta_w: Optional[Array] = None,    # (N, 3) per-frame gyro rotation
+    imu_valid: Optional[Array] = None,      # (N,) bool
+) -> tuple[ScanState, ScanOutput]:
+    """Run the FULL SLAM system over an (N, H, W) frame stack on device.
+
+    Returns (final state, per-frame ScanOutput).  Use `compose_trajectory`
+    to turn the output into world poses that reflect every BA/loop
+    correction (the models/slam.Slam.result convention).
+    """
+    n = grays.shape[0]
+    if imu_delta_w is None:
+        imu_delta_w = jnp.zeros((n, 3), jnp.float32)
+        imu_valid = jnp.zeros(n, bool)
+
+    def body(st, frame):
+        g, d, iw, iv = frame
+        return _step(st, g, d, (iw, iv), intrinsics, cfg)
+
+    final, (ref, T_rel, tracked, is_kf) = jax.lax.scan(
+        body, state, (grays, depths, imu_delta_w, imu_valid))
+    return final, ScanOutput(ref_slot=ref, T_rel=T_rel, tracked=tracked,
+                             is_kf=is_kf)
+
+
+def compose_trajectory(final: ScanState, out: ScanOutput) -> np.ndarray:
+    """(N, 4, 4) world poses: each frame rides its reference keyframe's
+    FINAL optimized pose, so later BA/loop corrections apply retroactively
+    (identical convention to models/slam.Slam.result)."""
+    kf_pose = np.asarray(final.m.kf_pose)
+    ref = np.asarray(out.ref_slot)
+    rel = np.asarray(out.T_rel)
+    return np.einsum("nij,njk->nik", kf_pose[ref], rel)

@@ -249,6 +249,102 @@ def deproject(pixels: Array, depth: Array, intrinsics: Array,
 # ---------------------------------------------------------------------------
 
 
+def kabsch_quat(src: Array, dst: Array, weights: Array | None = None,
+                newton_iters: int = 30) -> Array:
+    """Weighted rigid transform via the quaternion characteristic
+    polynomial (QCP / Theobald) — the SVD-free Kabsch for BATCHED
+    hypothesis solving.
+
+    The optimal rotation is the top eigenvector of Horn's symmetric 4x4
+    K built from the correlation H = sum w s d^T.  K is traceless with a
+    near-symmetric +-lambda spectrum on minimal 3-point sets, so iterative
+    power methods stall; instead the largest eigenvalue comes from Newton
+    on the characteristic quartic (monotone from the upper bound
+    sqrt(tr K^2)) and the eigenvector from the adjugate of K - lambda I —
+    closed-form, branch-free, pure elementwise VPU arithmetic.
+    `jnp.linalg.svd` on (256, 3, 3) costs ~1.1 ms on TPU (measured; the
+    same batched-LAPACK pathology the BA roofline killed); this is ~free.
+    Returns a PROPER rotation by construction (no det-flip guard).  Used
+    for RANSAC hypothesis batches; winners are refit with the exact SVD
+    `kabsch`.
+    """
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], src.dtype)
+    w = weights[..., None]
+    wsum = jnp.maximum(jnp.sum(weights, -1, keepdims=True)[..., None], 1e-9)
+    mu_s = jnp.sum(src * w, -2, keepdims=True) / wsum
+    mu_d = jnp.sum(dst * w, -2, keepdims=True) / wsum
+    s = src - mu_s
+    d = dst - mu_d
+    H = jnp.einsum("...ni,...nj->...ij", s * w, d)     # (..., 3, 3)
+
+    hxx, hxy, hxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    hyx, hyy, hyz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    hzx, hzy, hzz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    row0 = jnp.stack([hxx + hyy + hzz, hyz - hzy, hzx - hxz, hxy - hyx], -1)
+    row1 = jnp.stack([hyz - hzy, hxx - hyy - hzz, hxy + hyx, hzx + hxz], -1)
+    row2 = jnp.stack([hzx - hxz, hxy + hyx, -hxx + hyy - hzz, hyz + hzy], -1)
+    row3 = jnp.stack([hxy - hyx, hzx + hxz, hyz + hzy, -hxx - hyy + hzz], -1)
+    K = jnp.stack([row0, row1, row2, row3], -2)        # (..., 4, 4)
+
+    # characteristic quartic of the traceless K via trace powers:
+    # f(x) = x^4 + e2 x^2 - e3 x + e4, e2 = -p2/2, e3 = p3/3,
+    # e4 = (p2^2/2 - p4)/4 with pk = tr(K^k)
+    K2 = jnp.einsum("...ij,...jk->...ik", K, K)
+    p2 = jnp.trace(K2, axis1=-2, axis2=-1)
+    p3 = jnp.einsum("...ij,...ji->...", K2, K)
+    p4 = jnp.sum(K2 * jnp.swapaxes(K2, -1, -2), (-2, -1))
+    e2 = -0.5 * p2
+    e3 = p3 / 3.0
+    e4 = (0.5 * p2 * p2 - p4) * 0.25
+    lam = jnp.sqrt(jnp.maximum(p2, 1e-30))          # upper bound >= lam_max
+    for _ in range(newton_iters):
+        f = ((lam * lam + e2) * lam - e3) * lam + e4
+        fp = (4.0 * lam * lam + 2.0 * e2) * lam - e3
+        lam = lam - f / jnp.where(jnp.abs(fp) < 1e-20, 1e-20, fp)
+
+    # eigenvector = any nonzero column of adj(K - lam I) (rank-1 for a
+    # simple eigenvalue); take the largest-norm column for stability
+    A = K - lam[..., None, None] * jnp.broadcast_to(
+        jnp.eye(4, dtype=K.dtype), K.shape)
+
+    def minor3(rows, cols):
+        m = A[..., rows, :][..., :, cols]
+        return (m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2]
+                                - m[..., 1, 2] * m[..., 2, 1])
+                - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2]
+                                  - m[..., 1, 2] * m[..., 2, 0])
+                + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1]
+                                  - m[..., 1, 1] * m[..., 2, 0]))
+
+    idx = [0, 1, 2, 3]
+    cols = []
+    for j in idx:                       # adj column j = cofactors of row j
+        col = []
+        for i in idx:
+            rows = tuple(r for r in idx if r != j)
+            cc = tuple(c for c in idx if c != i)
+            col.append(((-1.0) ** (i + j)) * minor3(rows, cc))
+        cols.append(jnp.stack(col, -1))                 # (..., 4)
+    adj_cols = jnp.stack(cols, -2)                      # (..., 4cols, 4)
+    norms = jnp.linalg.norm(adj_cols, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    q = jnp.take_along_axis(
+        adj_cols, best[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-20)
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+                   2 * (qx * qz + qy * qw)], -1),
+        jnp.stack([2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+                   2 * (qy * qz - qx * qw)], -1),
+        jnp.stack([2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+                   1 - 2 * (qx * qx + qy * qy)], -1),
+    ], -2)
+    t = mu_d[..., 0, :] - jnp.einsum("...ij,...j->...i", R, mu_s[..., 0, :])
+    return pose_from_rt(R, t)
+
+
 def kabsch(src: Array, dst: Array, weights: Array | None = None) -> Array:
     """Weighted rigid transform T (4,4) minimizing ||T@src - dst||^2.
 

@@ -1,0 +1,76 @@
+"""slam_scan: the whole SLAM system as ONE lax.scan must reproduce the
+host-scheduled system exactly — same keyframes, same closures, same
+trajectory (the branches are the same fixed-shape programs, selected by
+lax.cond instead of by the host)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from jetracer_orbslam2_tpu.config import (
+    FrontendConfig, MapConfig, SystemConfig, TrackingConfig)
+from jetracer_orbslam2_tpu.evaluation import ate
+from jetracer_orbslam2_tpu.io.synthetic import generate_lap_sequence
+from jetracer_orbslam2_tpu.models import slam_scan as ss
+from jetracer_orbslam2_tpu.models.slam import Slam
+
+H, W = 180, 240
+
+
+def test_slam_scan_matches_host_loop_with_loop_closure():
+    LAP, N = 110, 126
+    cfg = SystemConfig(
+        frontend=FrontendConfig(height=H, width=W, num_levels=3,
+                                max_keypoints=512),
+        tracking=TrackingConfig(match_window=16.0))
+    seq = generate_lap_sequence(n_frames=N, shape=(H, W), lap_frames=LAP)
+    rng = np.random.RandomState(0)
+    dep = np.asarray(seq.depth)
+    noisy = jnp.asarray(
+        dep * (1.0 + 0.02 * dep * rng.randn(*dep.shape).astype(np.float32)))
+
+    st = ss.init_scan_state(seq.gray[0], noisy[0], seq.intrinsics, cfg)
+    final, out = ss.slam_scan(st, seq.gray[1:], noisy[1:], seq.intrinsics,
+                              cfg)
+    poses = np.concatenate([
+        np.asarray(final.m.kf_pose)[:1],
+        ss.compose_trajectory(final, out)])
+    scan_ate = float(ate(jnp.asarray(poses), seq.poses).rmse)
+
+    slam = Slam(cfg, seq.intrinsics)
+    for i in range(N):
+        slam.process_frame(seq.gray[i], noisy[i])
+    o = slam.result()
+    host_ate = float(ate(jnp.asarray(o.poses), seq.poses).rmse)
+
+    # the scan IS the system: identical decisions and results
+    assert int(final.num_loops) == o.num_loops >= 1
+    assert int(final.m.num_kf) == o.num_keyframes
+    assert int(final.num_relocs) == o.num_relocs
+    np.testing.assert_allclose(
+        np.asarray(out.tracked), o.tracked[1:])
+    assert abs(scan_ate - host_ate) < 1e-3, (scan_ate, host_ate)
+    np.testing.assert_allclose(poses, o.poses, atol=1e-3)
+
+
+def test_slam_scan_zero_host_transfers_shape():
+    """The scan consumes stacked frames and returns fixed-size outputs —
+    smoke-check the API on a tiny sequence (no keyframe gap tuning)."""
+    from jetracer_orbslam2_tpu.io.synthetic import generate_sequence
+
+    n = 8
+    seq = generate_sequence(n_frames=n, shape=(120, 160))
+    cfg = SystemConfig(
+        frontend=FrontendConfig(height=120, width=160, num_levels=2,
+                                max_keypoints=256),
+        map=MapConfig(max_keyframes=16, max_landmarks=2048, max_obs=8192,
+                      kf_min_gap=2, kf_max_gap=4, window_size=4))
+    st = ss.init_scan_state(seq.gray[0], seq.depth[0], seq.intrinsics, cfg)
+    final, out = ss.slam_scan(st, seq.gray[1:], seq.depth[1:],
+                              seq.intrinsics, cfg)
+    assert out.T_rel.shape == (n - 1, 4, 4)
+    assert out.tracked.all()
+    assert int(final.m.num_kf) >= 2          # kf_max_gap forces inserts
+    poses = ss.compose_trajectory(final, out)
+    r = ate(jnp.asarray(np.concatenate([np.eye(4)[None], poses])),
+            seq.poses[:n])
+    assert float(r.rmse) < 0.05
