@@ -100,7 +100,7 @@ def init_scan_state(
 
 
 def _step(state: ScanState, gray, depth, imu, intrinsics,
-          cfg: SystemConfig) -> tuple[ScanState, tuple]:
+          cfg: SystemConfig, mesh=None) -> tuple[ScanState, tuple]:
     feats = _features(gray, depth, intrinsics, cfg)
     imu_delta_w, imu_ok = imu
     key = jax.random.fold_in(state.base_key, state.frame_idx)
@@ -143,7 +143,14 @@ def _step(state: ScanState, gray, depth, imu, intrinsics,
         new_mask = feats.has_point & ~lm_ok
         m, slot = map_mod.insert_keyframe(
             m, feats, T_wc, state.frame_idx, new_mask, lm_idx, lm_ok)
-        m = slam_mod.local_ba(m, intrinsics, cfg.map.window_size, cfg)
+        if mesh is not None:
+            from jetracer_orbslam2_tpu.parallel.ba_sharded import (
+                sharded_local_ba)
+
+            m, _dropped = sharded_local_ba(
+                m, intrinsics, cfg.map.window_size, cfg, mesh)
+        else:
+            m = slam_mod.local_ba(m, intrinsics, cfg.map.window_size, cfg)
         T_wc = m.kf_pose[slot]
         lkey = jax.random.fold_in(state.base_key, 10_000 + state.frame_idx)
         cand_idx, T_ab, loop_ok = loop_mod.retrieve_and_verify(
@@ -180,14 +187,19 @@ def _step(state: ScanState, gray, depth, imu, intrinsics,
     return new_state, (ref_slot, T_rel, tracked, need_kf)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def slam_scan(
     state: ScanState, grays: Array, depths: Array, intrinsics: Array,
     cfg: SystemConfig,
     imu_delta_w: Optional[Array] = None,    # (N, 3) per-frame gyro rotation
     imu_valid: Optional[Array] = None,      # (N,) bool
+    mesh=None,                              # optional jax Mesh ("lm" axis)
 ) -> tuple[ScanState, ScanOutput]:
     """Run the FULL SLAM system over an (N, H, W) frame stack on device.
+
+    mesh: when given, every windowed BA inside the scan runs
+    landmark-sharded over it (parallel.ba_sharded.sharded_local_ba) — the
+    zero-host-sync path and the distributed path are the same program.
 
     Returns (final state, per-frame ScanOutput).  Use `compose_trajectory`
     to turn the output into world poses that reflect every BA/loop
@@ -200,7 +212,7 @@ def slam_scan(
 
     def body(st, frame):
         g, d, iw, iv = frame
-        return _step(st, g, d, (iw, iv), intrinsics, cfg)
+        return _step(st, g, d, (iw, iv), intrinsics, cfg, mesh=mesh)
 
     final, (ref, T_rel, tracked, is_kf) = jax.lax.scan(
         body, state, (grays, depths, imu_delta_w, imu_valid))

@@ -52,6 +52,33 @@ def test_slam_scan_matches_host_loop_with_loop_closure():
     np.testing.assert_allclose(poses, o.poses, atol=1e-3)
 
 
+def test_slam_scan_sharded_ba_matches_meshless():
+    """With a mesh, every windowed BA inside the scan runs through
+    sharded_local_ba (shard_map under lax.cond under lax.scan) and the
+    result matches the meshless scan — the zero-host-sync path IS the
+    distributed path."""
+    from jetracer_orbslam2_tpu.io.synthetic import generate_sequence
+    from jetracer_orbslam2_tpu.parallel import make_mesh
+
+    n = 14
+    seq = generate_sequence(n_frames=n, shape=(120, 160))
+    cfg = SystemConfig(
+        frontend=FrontendConfig(height=120, width=160, num_levels=2,
+                                max_keypoints=256),
+        map=MapConfig(max_keyframes=16, max_landmarks=2048, max_obs=8192,
+                      kf_min_gap=2, kf_max_gap=4, window_size=4))
+    st = ss.init_scan_state(seq.gray[0], seq.depth[0], seq.intrinsics, cfg)
+    f1, o1 = ss.slam_scan(st, seq.gray[1:], seq.depth[1:], seq.intrinsics,
+                          cfg)
+    f8, o8 = ss.slam_scan(st, seq.gray[1:], seq.depth[1:], seq.intrinsics,
+                          cfg, mesh=make_mesh(8))
+    assert int(f8.m.num_kf) == int(f1.m.num_kf) >= 3
+    np.testing.assert_allclose(
+        np.asarray(f8.m.kf_pose), np.asarray(f1.m.kf_pose), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(o8.T_rel), np.asarray(o1.T_rel), atol=5e-3)
+
+
 def test_slam_scan_zero_host_transfers_shape():
     """The scan consumes stacked frames and returns fixed-size outputs —
     smoke-check the API on a tiny sequence (no keyframe gap tuning)."""
