@@ -220,6 +220,80 @@ def slam_scan(
                              is_kf=is_kf)
 
 
+class ChunkedSlam:
+    """Online SLAM with micro-batched latency hiding: frames are processed
+    in fixed-size chunks through `slam_scan`, so the host pays ONE
+    device->host sync per chunk instead of one per frame (models/slam.Slam
+    pays per frame; on a ~24 ms tunnel that caps it at ~24 fps while this
+    runs at chunk_size x that).  The trade is decision latency: keyframe /
+    loop / relocalization actions land within the chunk, and the host sees
+    reports `chunk_size` frames late — the same trade the reference's
+    worker free-list made with threads (SlamGpuPipeline.cpp:41-50).
+    """
+
+    def __init__(self, cfg: SystemConfig, intrinsics, chunk_size: int = 8,
+                 seed: int = 0, mesh=None):
+        self.cfg = cfg
+        self.intr = jnp.asarray(intrinsics, jnp.float32)
+        self.chunk = chunk_size
+        self.mesh = mesh
+        self.seed = seed
+        self.state: Optional[ScanState] = None
+        self._outs: list[ScanOutput] = []
+        self._pending_g: list = []
+        self._pending_d: list = []
+
+    def process_frame(self, gray, depth) -> Optional[ScanOutput]:
+        """Feed one frame; returns the chunk's ScanOutput every
+        `chunk_size` frames (None otherwise)."""
+        if self.state is None:
+            self.state = init_scan_state(
+                jnp.asarray(gray), jnp.asarray(depth), self.intr, self.cfg,
+                seed=self.seed)
+            return None
+        # do NOT np.asarray here: device-resident inputs must stay on
+        # device (a copy back through a tunneled link costs a round trip
+        # PER FRAME — measured 14 fps vs 300+)
+        self._pending_g.append(gray)
+        self._pending_d.append(depth)
+        if len(self._pending_g) < self.chunk:
+            return None
+        return self.flush()
+
+    def flush(self) -> Optional[ScanOutput]:
+        """Run the buffered frames through the scan (pads the tail chunk
+        by repeating the last frame; padded outputs are dropped)."""
+        n = len(self._pending_g)
+        if n == 0:
+            return None
+        pad = self.chunk - n
+        g = jnp.stack(self._pending_g + [self._pending_g[-1]] * pad)
+        d = jnp.stack(self._pending_d + [self._pending_d[-1]] * pad)
+        self._pending_g.clear()
+        self._pending_d.clear()
+        # NOTE: padded tail frames do run through the system; for the
+        # final partial chunk of a sequence their effect is a few
+        # duplicate-frame tracks (benign: zero-motion estimates).
+        self.state, out = slam_scan(
+            self.state, g, d, self.intr, self.cfg, mesh=self.mesh)
+        # one batched transfer (async copies + single block), not one
+        # roundtrip per field
+        out = jax.device_get(out)
+        out = ScanOutput(*[np.asarray(x)[:n] for x in out])
+        self._outs.append(out)
+        return out
+
+    def result(self) -> np.ndarray:
+        """(N, 4, 4) world poses for all processed frames (frame 0 = the
+        bootstrap keyframe's optimized pose)."""
+        outs = self._outs
+        merged = ScanOutput(*[
+            np.concatenate([np.asarray(getattr(o, f)) for o in outs])
+            for f in ScanOutput._fields])
+        kf0 = np.asarray(self.state.m.kf_pose)[:1]
+        return np.concatenate([kf0, compose_trajectory(self.state, merged)])
+
+
 def compose_trajectory(final: ScanState, out: ScanOutput) -> np.ndarray:
     """(N, 4, 4) world poses: each frame rides its reference keyframe's
     FINAL optimized pose, so later BA/loop corrections apply retroactively

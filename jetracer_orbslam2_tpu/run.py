@@ -34,6 +34,10 @@ def build_argparser():
     p.add_argument("--mode", choices=("odometry", "slam"), default="slam",
                    help="slam = full system (map/BA/loops); odometry = "
                         "whole-sequence on-device scan (RGB-D only)")
+    p.add_argument("--chunked", type=int, default=0, metavar="C",
+                   help="micro-batched SLAM: run the full system as "
+                        "on-device scans over C-frame chunks (one host "
+                        "sync per chunk; RGB-D only)")
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--checkpoint", help="directory to save the final map")
     p.add_argument("--resume", help="checkpoint directory to start from")
@@ -175,6 +179,45 @@ def main(argv=None) -> int:
         report, poses = res
         if gt is not None and n > 1:
             r = ate(jnp.asarray(poses[:n]), jnp.asarray(gt[:n]))
+            report["ate_rmse_m"] = round(float(r.rmse), 4)
+        print(json.dumps(report))
+        return 0
+
+    if args.chunked:
+        from jetracer_orbslam2_tpu.models.slam_scan import ChunkedSlam
+
+        cfg = SystemConfig(frontend=FrontendConfig(
+            height=h, width=w, num_levels=args.levels,
+            max_keypoints=args.max_keypoints))
+        mesh = None
+        if args.mesh:
+            from jetracer_orbslam2_tpu.parallel.mesh import virtual_mesh
+
+            mesh = virtual_mesh(args.mesh)
+        ch = ChunkedSlam(cfg, intr, chunk_size=args.chunked, mesh=mesh)
+        t0 = time.perf_counter()
+        count = 0
+        for gray, depth, right, _ in frames():
+            if depth is None:
+                log.error("--chunked needs RGB-D frames; use --mode slam "
+                          "for stereo datasets")
+                return 2
+            ch.process_frame(gray, depth)
+            count += 1
+        ch.flush()
+        wall = time.perf_counter() - t0
+        poses = ch.result()
+        report = {
+            "mode": f"slam-chunked{args.chunked}",
+            "frames": count,
+            "fps": round(count / wall, 2),
+            "keyframes": int(ch.state.m.num_kf),
+            "landmarks": int(ch.state.m.num_lm),
+            "loops": int(ch.state.num_loops),
+            "relocs": int(ch.state.num_relocs),
+        }
+        if gt is not None and count > 1:
+            r = ate(jnp.asarray(poses[:count]), jnp.asarray(gt[:count]))
             report["ate_rmse_m"] = round(float(r.rmse), 4)
         print(json.dumps(report))
         return 0

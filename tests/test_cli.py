@@ -58,3 +58,14 @@ def test_cli_distributed_flag_single_process():
                        "--max-keypoints", "128", "--distributed",
                        "--max-frames", "6", "--json"])
     assert report["frames"] == 6
+
+
+def test_cli_chunked_mode():
+    """--chunked C runs the full system as on-device scans over C-frame
+    chunks (one host sync per chunk) from the production entry."""
+    report = _run_cli(["--dataset", FIXTURE, "--chunked", "6",
+                       "--levels", "2", "--max-keypoints", "128", "--json"])
+    assert report["mode"] == "slam-chunked6"
+    assert report["frames"] == 24
+    assert report["keyframes"] >= 2
+    assert report["ate_rmse_m"] < 0.06, report

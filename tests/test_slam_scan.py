@@ -52,6 +52,34 @@ def test_slam_scan_matches_host_loop_with_loop_closure():
     np.testing.assert_allclose(poses, o.poses, atol=1e-3)
 
 
+def test_chunked_slam_matches_full_scan():
+    """ChunkedSlam (one host sync per chunk — the micro-batched online
+    mode) carries ScanState across chunks, so with no tail padding it is
+    the SAME computation as one big scan."""
+    from jetracer_orbslam2_tpu.io.synthetic import generate_sequence
+
+    n = 21                                   # 1 bootstrap + 4 chunks of 5
+    seq = generate_sequence(n_frames=n, shape=(120, 160))
+    cfg = SystemConfig(
+        frontend=FrontendConfig(height=120, width=160, num_levels=2,
+                                max_keypoints=256),
+        map=MapConfig(max_keyframes=16, max_landmarks=2048, max_obs=8192,
+                      kf_min_gap=2, kf_max_gap=4, window_size=4))
+
+    ch = ss.ChunkedSlam(cfg, seq.intrinsics, chunk_size=5)
+    outs = [ch.process_frame(seq.gray[i], seq.depth[i]) for i in range(n)]
+    assert sum(o is not None for o in outs) == 4     # one report per chunk
+    poses_ch = ch.result()
+
+    st = ss.init_scan_state(seq.gray[0], seq.depth[0], seq.intrinsics, cfg)
+    final, out = ss.slam_scan(st, seq.gray[1:], seq.depth[1:],
+                              seq.intrinsics, cfg)
+    poses_full = np.concatenate([
+        np.asarray(final.m.kf_pose)[:1], ss.compose_trajectory(final, out)])
+    assert int(ch.state.m.num_kf) == int(final.m.num_kf)
+    np.testing.assert_allclose(poses_ch, poses_full, atol=1e-5)
+
+
 def test_slam_scan_sharded_ba_matches_meshless():
     """With a mesh, every windowed BA inside the scan runs through
     sharded_local_ba (shard_map under lax.cond under lax.scan) and the
