@@ -15,15 +15,11 @@ round trips per frame; the reference needed three worker threads and six
 stream syncs per frame to hide far smaller latencies
 (src/SlamGpuPipeline/buildStream.cpp:345-666).
 
-Differences from the host-loop system (documented, deliberate):
-  * map compaction does not run mid-scan — size MapConfig capacities for
-    the sequence (the host loop remains the way to run unbounded streams);
-  * the mesh-sharded BA path is not used inside the scan (single-device
-    windowed BA; shard the scan itself over frames/batch when that
-    matters).
-Everything else — thresholds, gating, RNG derivation, trajectory
-convention (frames ride their reference keyframe's optimized pose) — is
-the same math as models/slam.py.
+Everything — thresholds, gating, RNG derivation, keyframe/loop/reloc
+branches, capacity compaction, optional mesh-sharded windowed BA, the
+trajectory convention (frames ride their reference keyframe's optimized
+pose) — is the same math as models/slam.py, selected by lax.cond instead
+of by the host.
 """
 
 from __future__ import annotations
@@ -161,6 +157,19 @@ def _step(state: ScanState, gray, depth, imu, intrinsics,
                                       cfg.pose_graph),
             lambda mm: mm, m)
         T_wc = m.kf_pose[slot]
+        # capacity recycling on device (models/slam.Slam._maybe_compact):
+        # cull weak old landmarks + compact the edge list when a budget
+        # crosses the threshold, so unbounded sequences keep mapping
+        mc = cfg.map
+        need_compact = (
+            (m.num_obs > mc.compact_at * m.obs_valid.shape[0])
+            | (m.num_lm > mc.compact_at * m.lm_valid.shape[0]))
+        m = jax.lax.cond(
+            need_compact,
+            lambda mm: map_mod.compact_map(
+                mm, jnp.float32(mc.cull_min_obs),
+                jnp.int32(mc.cull_min_age_kf)),
+            lambda mm: mm, m)
         return m, T_wc, slot, loop_ok
 
     def no_kf(op):

@@ -129,3 +129,33 @@ def test_slam_scan_zero_host_transfers_shape():
     r = ate(jnp.asarray(np.concatenate([np.eye(4)[None], poses])),
             seq.poses[:n])
     assert float(r.rmse) < 0.05
+
+
+def test_slam_scan_compacts_inside_the_scan():
+    """Tight map capacities over a multi-lap sequence: the in-scan
+    compaction branch keeps counters under budget and mapping alive to the
+    end — no host involvement (mirror of
+    test_map_lifecycle.test_long_run_never_saturates_fixed_capacity)."""
+    from jetracer_orbslam2_tpu.config import TrackingConfig
+
+    n, lap_frames = 180, 80
+    seq = generate_lap_sequence(n_frames=n, shape=(120, 160),
+                                lap_frames=lap_frames)
+    cfg = SystemConfig(
+        frontend=FrontendConfig(height=120, width=160, num_levels=2,
+                                max_keypoints=256),
+        tracking=TrackingConfig(match_window=16.0),
+        map=MapConfig(max_keyframes=128, max_landmarks=1024, max_obs=2048,
+                      kf_min_gap=2, kf_max_gap=6, window_size=4),
+    )
+    st = ss.init_scan_state(seq.gray[0], seq.depth[0], seq.intrinsics, cfg)
+    final, out = ss.slam_scan(st, seq.gray[1:], seq.depth[1:],
+                              seq.intrinsics, cfg)
+    assert int(final.m.num_obs) <= cfg.map.max_obs
+    assert int(final.m.num_lm) <= cfg.map.max_landmarks
+    # mapping survived to the end (the map isn't frozen/saturated) and
+    # late-frame landmarks reference late keyframes
+    assert int(final.m.num_kf) >= 20
+    assert np.asarray(out.tracked)[-40:].mean() > 0.8
+    kf_frames = np.asarray(final.m.kf_frame_id)
+    assert kf_frames[int(final.m.num_kf) - 1] > 0.9 * n
