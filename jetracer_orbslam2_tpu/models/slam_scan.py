@@ -295,11 +295,14 @@ class ChunkedSlam:
     def result(self) -> np.ndarray:
         """(N, 4, 4) world poses for all processed frames (frame 0 = the
         bootstrap keyframe's optimized pose)."""
-        outs = self._outs
-        merged = ScanOutput(*[
-            np.concatenate([np.asarray(getattr(o, f)) for o in outs])
-            for f in ScanOutput._fields])
+        if self.state is None:
+            return np.zeros((0, 4, 4), np.float32)
         kf0 = np.asarray(self.state.m.kf_pose)[:1]
+        if not self._outs:
+            return kf0
+        merged = ScanOutput(*[
+            np.concatenate([np.asarray(getattr(o, f)) for o in self._outs])
+            for f in ScanOutput._fields])
         return np.concatenate([kf0, compose_trajectory(self.state, merged)])
 
 

@@ -79,38 +79,15 @@ def extract_patches(levels: List[Array], kp: Keypoints, patch_size: int) -> Arra
     rows = jnp.take(canvas, ys.reshape(-1), axis=0)               # (K*P, W0)
     rows = rows.reshape(k, p, w0)
 
-    # 2) column selection in two stages (round-3: the single one-hot
-    #    matmul over all W0 columns was ~1.8 GFLOP/frame at HIGHEST and
-    #    the hottest op left in the front-end):
-    #    (a) pick the two 64-wide column blocks straddling the window by
-    #        an exact f32 multiply-reduce over the block axis (VPU);
-    #    (b) one-hot matmul only within the 128-wide strip (~0.36 GFLOP).
-    B = 64
-    w_pad = -(-w0 // B) * B
-    if w_pad != w0:
-        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, w_pad - w0)))
-    nb = w_pad // B
-    rows4 = rows.reshape(k, p, nb, B)
-    xs_start = xc - r                                             # (K,)
-    b0 = xs_start // B
-    blk = jax.lax.broadcasted_iota(jnp.int32, (k, nb), 1)
-    sel0 = (blk == b0[:, None]).astype(rows.dtype)
-    sel1 = (blk == (b0 + 1)[:, None]).astype(rows.dtype)
-    strip = jnp.concatenate([
-        jnp.einsum("kpnb,kn->kpb", rows4, sel0,
-                   precision=jax.lax.Precision.HIGHEST),
-        jnp.einsum("kpnb,kn->kpb", rows4, sel1,
-                   precision=jax.lax.Precision.HIGHEST),
-    ], axis=-1)                                                   # (K, P, 2B)
-    within = xs_start - b0 * B                                    # (K,)
+    # 2) column selection as a batched one-hot matmul (MXU)
+    xs = xc[:, None] + offs[None, :]                              # (K, P)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, w0, p), 1)
+    onehot = (cols == xs[:, None, :]).astype(rows.dtype)          # (K, W0, P)
     # HIGHEST so pixel values pass through un-rounded: a one-hot matmul at
     # default TPU precision would round every pixel to bf16, silently
     # corrupting the exact-compare BRIEF bits downstream (ops/orb.describe).
-    cols = jax.lax.broadcasted_iota(jnp.int32, (k, 2 * B, p), 1)
-    target = within[:, None, None] + jnp.arange(p)[None, None, :]
-    onehot = (cols == target).astype(rows.dtype)                  # (K, 2B, P)
     return jax.lax.dot_general(
-        strip, onehot,
+        rows, onehot,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
