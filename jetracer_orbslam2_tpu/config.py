@@ -13,11 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,6 +41,16 @@ class FrontendConfig:
     num_angle_bins: int = 32        # rotated-BRIEF quantization (11.25 deg)
     descriptor_bits: int = 256      # full BRIEF-256
     min_score: float = 1e-3         # validity cutoff for cell winners
+    # camera distortion of the (left/primary) camera, applied at the
+    # keypoint level: detection runs on the RAW image, keypoint COORDS are
+    # undistorted once (ops/geometry.undistort_pixels) so every downstream
+    # consumer (tracking, BA, map) sees ideal-pinhole measurements.  The
+    # reference applies the same two models inside its align kernels every
+    # frame (src/cuda/cuda-align.cu:23-109).
+    #   brown_conrady: (k1, k2, p1, p2, k3);  ftheta: (w,)
+    # None = pre-rectified input (TUM, KITTI, EuRoC post-processing).
+    dist: Optional[Tuple[float, ...]] = None
+    dist_model: str = "brown_conrady"
 
     @property
     def patch_radius(self) -> int:
@@ -77,34 +83,6 @@ class FrontendConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class CameraConfig:
-    """Pinhole intrinsics + optional Brown-Conrady distortion.
-
-    Mirrors the rs2_intrinsics payload the reference uploads once per run
-    (reference: src/SlamGpuPipeline/SlamGpuPipeline.cpp:60-91,
-    src/cuda/cuda-align.cu:23-109).
-    """
-
-    fx: float = 525.0
-    fy: float = 525.0
-    cx: float = 319.5
-    cy: float = 239.5
-    width: int = 640
-    height: int = 480
-    # distortion coefficients; meaning depends on distortion_model:
-    #   brown_conrady: k1, k2, p1, p2, k3 (zeros = plain pinhole)
-    #   ftheta:        w (FOV parameter), rest ignored
-    # (the two models the reference supports, src/cuda/cuda-align.cu:60-109)
-    distortion: Tuple[float, float, float, float, float] = (0.0,) * 5
-    distortion_model: str = "brown_conrady"
-    depth_scale: float = 1.0 / 5000.0   # TUM PNG-depth convention
-    baseline: float = 0.0               # stereo baseline [m]; 0 = mono/RGB-D
-
-    def as_tuple(self):
-        return (self.fx, self.fy, self.cx, self.cy)
-
-
-@dataclasses.dataclass(frozen=True)
 class TrackingConfig:
     """Frame-to-frame / frame-to-map tracking.
 
@@ -119,8 +97,6 @@ class TrackingConfig:
     match_ratio: float = 0.9            # best/second-best Lowe ratio
     ransac_iters: int = 256             # batched hypotheses (Kabsch on 3-pt sets)
     ransac_inlier_thresh: float = 0.05  # m, 3D-3D inlier distance
-    icp_iters: int = 8
-    icp_tol: float = 1e-6
     min_matches: int = 12
     min_inliers: int = 8
     max_depth: float = 8.0              # m, reject far/invalid depth
@@ -160,7 +136,6 @@ class BAConfig:
     damping_up: float = 10.0
     damping_down: float = 0.1
     huber_delta: float = 5.991 ** 0.5   # px, chi2 95% for 2-dof
-    jacobi_precond: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,7 +192,6 @@ class RuntimeConfig:
 @dataclasses.dataclass(frozen=True)
 class SystemConfig:
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
-    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
     tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
     map: MapConfig = dataclasses.field(default_factory=MapConfig)
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
@@ -228,36 +202,3 @@ class SystemConfig:
 
     def replace(self, **kw) -> "SystemConfig":
         return dataclasses.replace(self, **kw)
-
-
-def tum_config(height: int = 480, width: int = 640) -> SystemConfig:
-    return SystemConfig(
-        frontend=FrontendConfig(height=height, width=width),
-        camera=CameraConfig(
-            fx=525.0, fy=525.0, cx=319.5, cy=239.5,
-            width=width, height=height, depth_scale=1.0 / 5000.0,
-        ),
-    )
-
-
-def euroc_config() -> SystemConfig:
-    """EuRoC MAV stereo (cam0, 752x480, rectified)."""
-    return SystemConfig(
-        frontend=FrontendConfig(height=480, width=752),
-        camera=CameraConfig(
-            fx=435.2, fy=435.2, cx=367.4, cy=252.2,
-            width=752, height=480, baseline=0.110074,
-        ),
-    )
-
-
-def kitti_config() -> SystemConfig:
-    """KITTI odometry grayscale stereo (1241x376, rectified)."""
-    return SystemConfig(
-        frontend=FrontendConfig(height=376, width=1241),
-        camera=CameraConfig(
-            fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
-            width=1241, height=376, baseline=0.5371,
-        ),
-        tracking=TrackingConfig(max_depth=80.0, ransac_inlier_thresh=0.5),
-    )

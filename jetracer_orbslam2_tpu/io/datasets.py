@@ -92,6 +92,56 @@ def _imread_depth16(path: str, scale: float) -> np.ndarray:
     return arr.astype(np.float32) * scale
 
 
+def _rodrigues_log(R: np.ndarray) -> np.ndarray:
+    """(3,3) rotation -> (3,) axis-angle (host-side, numpy)."""
+    cos_t = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = np.arccos(cos_t)
+    if theta < 1e-9:
+        return np.zeros(3)
+    v = np.asarray([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return v * (theta / (2.0 * np.sin(theta)))
+
+
+def _rodrigues_exp(w: np.ndarray) -> np.ndarray:
+    theta = float(np.linalg.norm(w))
+    if theta < 1e-12:
+        return np.eye(3)
+    k = w / theta
+    K = np.asarray([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def stereo_rectify_rotations(R: np.ndarray, t: np.ndarray):
+    """Bouguet stereo rectification, keypoint-level form.
+
+    R, t: cam1 <- cam0 rigid transform (p_c1 = R @ p_c0 + t), from the
+    cameras' extrinsics (EuRoC: inv(T_BS_cam1) @ T_BS_cam0).  Returns
+    (R_l, R_r, baseline): rotations such that applying R_l / R_r to the
+    two cameras' (undistorted) viewing rays puts both in a common frame
+    whose x-axis is the baseline — after which rows align and disparity
+    is valid.  Split-the-difference construction (each camera rotates by
+    half the relative rotation, then both rotate so the baseline lands on
+    -x for cam1), the same construction OpenCV's stereoRectify uses.
+    Consumed by models/stereo.frontend_stereo(rect_l=..., rect_r=...).
+    """
+    w = _rodrigues_log(R)
+    half_back = _rodrigues_exp(-0.5 * w)       # undoes half of R
+    t_mid = half_back @ t
+    b = float(np.linalg.norm(t))
+    e1 = -t_mid / max(np.linalg.norm(t_mid), 1e-12)
+    e2 = np.cross([0.0, 0.0, 1.0], e1)
+    n2 = np.linalg.norm(e2)
+    if n2 < 1e-6:                              # baseline ~ optical axis
+        e2 = np.cross([0.0, 1.0, 0.0], e1)
+        n2 = np.linalg.norm(e2)
+    e2 = e2 / n2
+    e3 = np.cross(e1, e2)
+    Rw = np.stack([e1, e2, e3])
+    R_r = Rw @ half_back
+    R_l = Rw @ _rodrigues_exp(0.5 * w)
+    return (R_l.astype(np.float32), R_r.astype(np.float32), b)
+
+
 def _associate(ts_a: np.ndarray, ts_b: np.ndarray, max_dt: float):
     """Nearest-timestamp association a->b (TUM tooling convention)."""
     out = []
@@ -120,16 +170,22 @@ class TumRGBD:
         self.gt = self._read_groundtruth(
             os.path.join(root, "groundtruth.txt"),
             np.asarray([t for t, _, _ in self.items]))
-        # freiburg-1 defaults; an optional intrinsics.txt ("fx fy cx cy")
-        # beside rgb.txt overrides them (used by re-rendered fixtures and
-        # recalibrated sequences)
+        # freiburg-1 defaults; an optional intrinsics.txt ("fx fy cx cy"
+        # optionally followed by "k1 k2 p1 p2 k3" Brown-Conrady coeffs —
+        # the real freiburg cameras ARE distorted; TUM's published
+        # ROS-default intrinsics assume pre-rectified tooling) beside
+        # rgb.txt overrides them
         self.intrinsics = np.asarray(
             [525.0, 525.0, 319.5, 239.5], np.float32)
+        self.dist = None
+        self.dist_model = "brown_conrady"
         intr_path = os.path.join(root, "intrinsics.txt")
         if os.path.exists(intr_path):
             with open(intr_path) as f:
-                self.intrinsics = np.asarray(
-                    [float(x) for x in f.read().split()[:4]], np.float32)
+                vals = [float(x) for x in f.read().split()]
+            self.intrinsics = np.asarray(vals[:4], np.float32)
+            if len(vals) >= 9 and any(v != 0.0 for v in vals[4:9]):
+                self.dist = tuple(vals[4:9])
         self.baseline = 0.0
 
     @staticmethod
@@ -181,8 +237,14 @@ class TumRGBD:
 class EurocStereo:
     """EuRoC MAV mav0/ layout: cam0/data.csv + cam0/data/*.png (+cam1).
 
-    Images are expected rectified (standard preprocessing); intrinsics
-    default to the EuRoC cam0 rectified model.
+    Handles REAL (non-pre-rectified) distributions: when the sensor.yaml
+    files carry `distortion_coefficients` / `distortion_model` and per-
+    camera `T_BS` extrinsics, the loader computes the Bouguet rectifying
+    rotations (stereo_rectify_rotations) and the baseline from the
+    extrinsics, and exposes them as `dist` / `dist_r` / `rect_l` /
+    `rect_r` / `intrinsics_r` for the keypoint-level rectification in
+    models/stereo.frontend_stereo.  Pre-rectified sets (no distortion, no
+    T_BS) keep the fast path with all of those None.
     """
 
     def __init__(self, root: str,
@@ -199,34 +261,102 @@ class EurocStereo:
                 self.pairs.append((t, name, self.right[j][1]))
         self.intrinsics = np.asarray(intrinsics, np.float32)
         self.baseline = baseline
-        # cam0/sensor.yaml overrides (the EuRoC distribution format):
-        #   intrinsics: [fu, fv, cu, cv]      and optionally
-        #   baseline: b                        (non-standard, fixtures)
-        yaml_path = os.path.join(root, "cam0", "sensor.yaml")
-        if os.path.exists(yaml_path):
-            intr, base = self._parse_sensor_yaml(yaml_path)
-            if intr is not None:
-                self.intrinsics = intr
-            if base is not None:
-                self.baseline = base
+        self.dist = None
+        self.dist_model = "brown_conrady"
+        self.dist_r = None
+        self.rect_l = None
+        self.rect_r = None
+        self.intrinsics_r = None
+        cal0 = self._parse_sensor_yaml(
+            os.path.join(root, "cam0", "sensor.yaml"))
+        cal1 = self._parse_sensor_yaml(
+            os.path.join(root, "cam1", "sensor.yaml"))
+        if cal0.get("intrinsics") is not None:
+            self.intrinsics = cal0["intrinsics"]
+        if cal0.get("baseline") is not None:       # fixture shorthand
+            self.baseline = cal0["baseline"]
+        d0, d1 = cal0.get("dist"), cal1.get("dist")
+        T0, T1 = cal0.get("T_BS"), cal1.get("T_BS")
+        distorted = ((d0 is not None and np.any(d0 != 0.0))
+                     or (d1 is not None and np.any(d1 != 0.0)))
+        if T0 is not None and T1 is not None:
+            T_c1_c0 = np.linalg.inv(T1) @ T0
+            rotated = not np.allclose(T_c1_c0[:3, :3], np.eye(3), atol=1e-6)
+            if distorted or rotated:
+                R_l, R_r, b = stereo_rectify_rotations(
+                    T_c1_c0[:3, :3], T_c1_c0[:3, 3])
+                self.rect_l = tuple(float(x) for x in R_l.ravel())
+                self.rect_r = tuple(float(x) for x in R_r.ravel())
+                self.baseline = b
+                self.dist = (None if d0 is None or not np.any(d0 != 0.0)
+                             else tuple(float(x) for x in d0))
+                self.dist_r = (None if d1 is None or not np.any(d1 != 0.0)
+                               else tuple(float(x) for x in d1))
+                self.dist_model = cal0.get("model", "brown_conrady")
+                if cal1.get("intrinsics") is not None:
+                    self.intrinsics_r = cal1["intrinsics"]
+        elif distorted:
+            # distortion without extrinsics: undistort-only (parallel rig)
+            self.dist = (None if d0 is None or not np.any(d0 != 0.0)
+                         else tuple(float(x) for x in d0))
+            self.dist_r = (None if d1 is None or not np.any(d1 != 0.0)
+                           else tuple(float(x) for x in d1))
+            self.dist_model = cal0.get("model", "brown_conrady")
+            if cal1.get("intrinsics") is not None:
+                self.intrinsics_r = cal1["intrinsics"]
         self.gt = self._read_groundtruth(
             os.path.join(root, "state_groundtruth_estimate0", "data.csv"),
             np.asarray([t for t, _, _ in self.pairs]))
 
     @staticmethod
     def _parse_sensor_yaml(path):
-        """Minimal line parser for the two fields we consume (no YAML dep)."""
-        intr = base = None
+        """Minimal parser for the EuRoC sensor.yaml fields we consume (no
+        YAML dep): intrinsics, distortion_coefficients, distortion_model,
+        T_BS (whose `data:` list may span lines), plus the non-standard
+        `baseline:` shorthand our fixtures use."""
+        out = {}
+        if not os.path.exists(path):
+            return out
         with open(path) as f:
-            for line in f:
-                s = line.strip()
-                if s.startswith("intrinsics:"):
-                    vals = s.split("[", 1)[1].split("]")[0].split(",")
-                    intr = np.asarray([float(x) for x in vals[:4]],
-                                      np.float32)
-                elif s.startswith("baseline:"):
-                    base = float(s.split(":", 1)[1])
-        return intr, base
+            text = f.read()
+
+        def bracket_list(key):
+            i = text.find(key)
+            if i < 0:
+                return None
+            j = text.index("[", i)
+            k = text.index("]", j)
+            return np.asarray(
+                [float(x) for x in text[j + 1:k].replace("\n", " ").split(",")
+                 if x.strip()], np.float32)
+
+        intr = bracket_list("intrinsics:")
+        if intr is not None:
+            out["intrinsics"] = intr[:4]
+        dist = bracket_list("distortion_coefficients:")
+        if dist is not None:
+            # radial-tangential ships k1 k2 p1 p2 (k3 implied 0); ftheta w
+            d5 = np.zeros(5, np.float32)
+            d5[:min(5, dist.size)] = dist[:5]
+            out["dist"] = d5
+        tbs_i = text.find("T_BS")
+        if tbs_i >= 0:
+            data = bracket_list("data:")
+            if data is not None and data.size == 16:
+                out["T_BS"] = data.reshape(4, 4).astype(np.float64)
+        for line in text.splitlines():
+            s = line.strip()
+            if s.startswith("baseline:"):
+                out["baseline"] = float(s.split(":", 1)[1])
+            elif s.startswith("distortion_model:"):
+                name = s.split(":", 1)[1].strip()
+                out["model"] = {
+                    "radial-tangential": "brown_conrady",
+                    "radtan": "brown_conrady",
+                    "brown_conrady": "brown_conrady",
+                    "ftheta": "ftheta",
+                }.get(name, "brown_conrady")
+        return out
 
     @staticmethod
     def _read_csv(path):
@@ -311,6 +441,8 @@ class KittiOdometry:
             self.times = [float(x) for x in f.read().split()]
         self.intrinsics, self.baseline = self._read_calib(
             os.path.join(root, "calib.txt"))
+        self.dist = None                 # KITTI ships rectified images
+        self.dist_model = "brown_conrady"
         self.gt = self._read_poses(os.path.join(root, "poses.txt"))
 
     @staticmethod

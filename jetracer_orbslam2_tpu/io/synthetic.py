@@ -85,20 +85,33 @@ def _sample_texture(tex: Array, u: Array, v: Array, scale: float = 64.0) -> Arra
     )
 
 
-@functools.partial(jax.jit, static_argnames=("shape",))
+@functools.partial(jax.jit, static_argnames=("shape", "dist", "dist_model"))
 def render_frame(
     T_wc: Array,
     intrinsics: Array,
     textures: Array,   # (num_planes, S, S)
     shape: tuple = (480, 640),
+    dist: tuple | None = None,
+    dist_model: str = "brown_conrady",
 ) -> tuple[Array, Array]:
-    """Ray-cast one camera view of the box. Returns (gray, depth)."""
+    """Ray-cast one camera view of the box. Returns (gray, depth).
+
+    `dist`: optional lens distortion (FrontendConfig.dist convention) —
+    pixel (x, y) then images the ray through the UNDISTORTED normalized
+    coords, producing a geometrically exact distorted camera (ground
+    truth for the distortion-plumbing tests; depth stays the camera-z of
+    the hit, i.e. registered to this camera's raw pixels)."""
     h, w = shape
     fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    xn, yn = (xx - cx) / fx, (yy - cy) / fy
+    if dist is not None:
+        xyn = geo._UNDISTORT[dist_model](
+            jnp.stack([xn, yn], -1), jnp.asarray(dist, jnp.float32))
+        xn, yn = xyn[..., 0], xyn[..., 1]
     # camera-frame ray directions (z=1 plane)
-    d_cam = jnp.stack([(xx - cx) / fx, (yy - cy) / fy, jnp.ones((h, w))], -1)
+    d_cam = jnp.stack([xn, yn, jnp.ones((h, w))], -1)
     R = T_wc[:3, :3]
     o = T_wc[:3, 3]
     d_w = d_cam @ R.T                                   # (H, W, 3)
@@ -202,9 +215,16 @@ def generate_stereo_sequence(
     step: float = 0.02,
     yaw_rate: float = 0.004,
     baseline: float = 0.11,
+    dist_l: tuple | None = None,
+    dist_r: tuple | None = None,
+    dist_model: str = "brown_conrady",
+    right_rotation: tuple | None = None,
 ) -> SyntheticStereoSequence:
-    """Rectified stereo pairs: right camera = left shifted by `baseline`
-    along the camera +x axis (EuRoC/KITTI geometry)."""
+    """Stereo pairs: right camera = left shifted by `baseline` along the
+    camera +x axis (EuRoC/KITTI geometry).  `dist_l`/`dist_r` render
+    distorted lenses and `right_rotation` (axis-angle, rad) tilts the
+    right camera — together they produce a geometrically exact
+    NON-pre-rectified rig for the keypoint-level rectification tests."""
     h, w = shape
     intr = jnp.asarray(
         [0.9 * w, 0.9 * w, (w - 1) / 2.0, (h - 1) / 2.0], jnp.float32)
@@ -212,9 +232,15 @@ def generate_stereo_sequence(
     textures = jnp.stack([make_texture(k) for k in keys])
     poses = smooth_trajectory(n_frames, step, yaw_rate)
     shift = jnp.eye(4).at[0, 3].set(baseline)
-    render = jax.vmap(lambda T: render_frame(T, intr, textures, shape))
-    left, depth = render(poses)
-    right, _ = render(poses @ shift)
+    if right_rotation is not None:
+        Rr = geo.so3_exp(jnp.asarray(right_rotation, jnp.float32))
+        shift = shift @ geo.pose_from_rt(Rr, jnp.zeros(3))
+    render_l = jax.vmap(lambda T: render_frame(
+        T, intr, textures, shape, dist=dist_l, dist_model=dist_model))
+    render_r = jax.vmap(lambda T: render_frame(
+        T, intr, textures, shape, dist=dist_r, dist_model=dist_model))
+    left, depth = render_l(poses)
+    right, _ = render_r(poses @ shift)
     return SyntheticStereoSequence(
         left=left, right=right, depth=depth, poses=poses,
         intrinsics=intr, baseline=baseline)
@@ -288,6 +314,8 @@ def generate_sequence(
     seed: int = 0,
     step: float = 0.02,
     yaw_rate: float = 0.004,
+    dist: tuple | None = None,
+    dist_model: str = "brown_conrady",
 ) -> SyntheticSequence:
     h, w = shape
     intr = jnp.asarray(
@@ -296,6 +324,7 @@ def generate_sequence(
     keys = jax.random.split(jax.random.PRNGKey(seed), len(_PLANES))
     textures = jnp.stack([make_texture(k) for k in keys])
     poses = smooth_trajectory(n_frames, step, yaw_rate)
-    render = jax.vmap(lambda T: render_frame(T, intr, textures, shape))
+    render = jax.vmap(lambda T: render_frame(
+        T, intr, textures, shape, dist=dist, dist_model=dist_model))
     gray, depth = render(poses)
     return SyntheticSequence(gray=gray, depth=depth, poses=poses, intrinsics=intr)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from jetracer_orbslam2_tpu.config import FrontendConfig
 from jetracer_orbslam2_tpu.ops import (
-    align, fast, nms, orb, pallas_fast, patches, preprocess)
+    align, fast, geometry as geo, nms, orb, pallas_fast, patches, preprocess)
 from jetracer_orbslam2_tpu.ops.nms import Keypoints
 
 Array = jax.Array
@@ -28,9 +28,15 @@ Array = jax.Array
 
 class Features(NamedTuple):
     """Fixed-K per-frame feature set (the slam_frame_t analogue,
-    reference src/SlamGpuPipeline/types.h:25-65 — minus the JPEG)."""
+    reference src/SlamGpuPipeline/types.h:25-65 — minus the JPEG).
 
-    xy: Array       # (K, 2) float32 level-0 pixel coords
+    `xy` is in IDEAL-PINHOLE pixel coordinates: when the camera has
+    distortion (FrontendConfig.dist), detection runs on the raw image and
+    the keypoint coords are undistorted here, once — every downstream
+    consumer (tracking windows, BA reprojection residuals, map
+    association) then works in the same rectified measurement space."""
+
+    xy: Array       # (K, 2) float32 level-0 ideal-pinhole pixel coords
     level: Array    # (K,) int32
     score: Array    # (K,) float32
     angle: Array    # (K,) float32 radians
@@ -98,12 +104,21 @@ def frontend_gray_depth(
     max_depth: float = 8.0,
 ) -> Features:
     kp, angles, desc = extract_features(gray.astype(jnp.float32), cfg)
+    # camera distortion (cfg.dist): depth is registered to the RAW image,
+    # so sampling happens at raw coords; deprojection undistorts the ray
+    # (reference applies the same models per pixel in its align kernels,
+    # src/cuda/cuda-align.cu:23-109) and the published keypoint coords are
+    # ideal-pinhole (see Features docstring).
+    dist = None if cfg.dist is None else jnp.asarray(cfg.dist, jnp.float32)
     pts, has_depth = align.backproject_keypoints(
-        kp.xy, depth, intrinsics, min_depth=min_depth, max_depth=max_depth
+        kp.xy, depth, intrinsics, dist=dist, model=cfg.dist_model,
+        min_depth=min_depth, max_depth=max_depth
     )
+    xy = kp.xy if dist is None else geo.undistort_pixels(
+        kp.xy, intrinsics, dist, cfg.dist_model)
     has_point = kp.valid & has_depth
     return Features(
-        xy=kp.xy,
+        xy=xy,
         level=kp.level,
         score=kp.score,
         angle=angles,

@@ -96,7 +96,23 @@ def init_scan_state(
 
 
 def _step(state: ScanState, gray, depth, imu, intrinsics,
-          cfg: SystemConfig, mesh=None) -> tuple[ScanState, tuple]:
+          cfg: SystemConfig, mesh=None, live=None) -> tuple[ScanState, tuple]:
+    """One SLAM frame.  `live` (scalar bool, optional): when False the
+    frame is chunk PADDING (ChunkedSlam's partial tail) — the whole step
+    is skipped under lax.cond so padded frames cannot mutate the map,
+    insert keyframes, or fire loop closures (VERDICT round-3 item 9), and
+    the emitted output row is marked untracked/non-keyframe."""
+    if live is not None:
+        def run(st):
+            return _step(st, gray, depth, imu, intrinsics, cfg, mesh=mesh)
+
+        def skip(st):
+            T_rel = geo.pose_inverse(st.m.kf_pose[st.ref_slot]) @ st.T_wc
+            return st, (st.ref_slot, T_rel, jnp.asarray(False),
+                        jnp.asarray(False))
+
+        return jax.lax.cond(live, run, skip, state)
+
     feats = _features(gray, depth, intrinsics, cfg)
     imu_delta_w, imu_ok = imu
     key = jax.random.fold_in(state.base_key, state.frame_idx)
@@ -203,12 +219,15 @@ def slam_scan(
     imu_delta_w: Optional[Array] = None,    # (N, 3) per-frame gyro rotation
     imu_valid: Optional[Array] = None,      # (N,) bool
     mesh=None,                              # optional jax Mesh ("lm" axis)
+    live: Optional[Array] = None,           # (N,) bool; False = padding
 ) -> tuple[ScanState, ScanOutput]:
     """Run the FULL SLAM system over an (N, H, W) frame stack on device.
 
     mesh: when given, every windowed BA inside the scan runs
     landmark-sharded over it (parallel.ba_sharded.sharded_local_ba) — the
     zero-host-sync path and the distributed path are the same program.
+    live: when given, frames with live=False are inert padding (skipped
+    under lax.cond — no tracking, no state mutation; ChunkedSlam's tail).
 
     Returns (final state, per-frame ScanOutput).  Use `compose_trajectory`
     to turn the output into world poses that reflect every BA/loop
@@ -219,12 +238,21 @@ def slam_scan(
         imu_delta_w = jnp.zeros((n, 3), jnp.float32)
         imu_valid = jnp.zeros(n, bool)
 
-    def body(st, frame):
-        g, d, iw, iv = frame
-        return _step(st, g, d, (iw, iv), intrinsics, cfg, mesh=mesh)
+    if live is None:
+        def body(st, frame):
+            g, d, iw, iv = frame
+            return _step(st, g, d, (iw, iv), intrinsics, cfg, mesh=mesh)
 
-    final, (ref, T_rel, tracked, is_kf) = jax.lax.scan(
-        body, state, (grays, depths, imu_delta_w, imu_valid))
+        final, (ref, T_rel, tracked, is_kf) = jax.lax.scan(
+            body, state, (grays, depths, imu_delta_w, imu_valid))
+    else:
+        def body(st, frame):
+            g, d, iw, iv, lv = frame
+            return _step(st, g, d, (iw, iv), intrinsics, cfg, mesh=mesh,
+                         live=lv)
+
+        final, (ref, T_rel, tracked, is_kf) = jax.lax.scan(
+            body, state, (grays, depths, imu_delta_w, imu_valid, live))
     return final, ScanOutput(ref_slot=ref, T_rel=T_rel, tracked=tracked,
                              is_kf=is_kf)
 
@@ -271,7 +299,9 @@ class ChunkedSlam:
 
     def flush(self) -> Optional[ScanOutput]:
         """Run the buffered frames through the scan (pads the tail chunk
-        by repeating the last frame; padded outputs are dropped)."""
+        by repeating the last frame; padded frames run with live=False —
+        inert under lax.cond, so a partial chunk is bit-identical to the
+        unpadded run — and their outputs are dropped)."""
         n = len(self._pending_g)
         if n == 0:
             return None
@@ -280,11 +310,10 @@ class ChunkedSlam:
         d = jnp.stack(self._pending_d + [self._pending_d[-1]] * pad)
         self._pending_g.clear()
         self._pending_d.clear()
-        # NOTE: padded tail frames do run through the system; for the
-        # final partial chunk of a sequence their effect is a few
-        # duplicate-frame tracks (benign: zero-motion estimates).
+        live = jnp.arange(self.chunk) < n
         self.state, out = slam_scan(
-            self.state, g, d, self.intr, self.cfg, mesh=self.mesh)
+            self.state, g, d, self.intr, self.cfg, mesh=self.mesh,
+            live=live)
         # one batched transfer (async copies + single block), not one
         # roundtrip per field
         out = jax.device_get(out)

@@ -104,16 +104,19 @@ def backproject_keypoints(
     depth: Array,
     intrinsics: Array,
     dist: Array | None = None,
+    model: str = "brown_conrady",
     min_depth: float = 0.05,
     max_depth: float = 8.0,
 ) -> tuple[Array, Array]:
     """Keypoints (K, 2) + aligned depth map -> camera-frame 3D (K, 3) + mask.
 
+    `xy` are RAW pixel coords (the depth map is registered to the raw
+    image); `dist`/`model` undistort the ray before scaling by depth.
     Replaces reference kernel_keypoint_pixel_to_point
     (cuda-align.cu:282-364): fixed-K with validity mask instead of
     atomic compaction; correct (x, y) indexing.
     """
     z = sample_depth(depth, xy)
-    pts = geometry.deproject(xy, z, intrinsics, dist)
+    pts = geometry.deproject(xy, z, intrinsics, dist, model)
     valid = (z > min_depth) & (z < max_depth)
     return pts, valid

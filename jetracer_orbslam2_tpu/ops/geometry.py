@@ -211,6 +211,55 @@ _UNDISTORT = {"brown_conrady": undistort_brown_conrady,
               "ftheta": undistort_ftheta}
 
 
+def undistort_pixels(xy: Array, intrinsics: Array, dist: Array | None,
+                     model: str = "brown_conrady",
+                     rect: Array | None = None) -> Array:
+    """RAW pixel coords (..., 2) -> ideal-pinhole pixel coords.
+
+    The production entry for camera distortion (the reference applies its
+    models inside every align/deproject kernel, src/cuda/cuda-align.cu:
+    23-109; here keypoints are measured on the raw image and their
+    COORDINATES are undistorted once — image pixels never resample).
+    `rect` (3, 3), when given, additionally rotates the undistorted ray
+    into a rectified frame (keypoint-level stereo rectification): the
+    output coords are pixels of a virtual pinhole camera with the SAME
+    intrinsics whose axes are `rect @ camera_axes`.
+    """
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    xn = (xy[..., 0] - cx) / fx
+    yn = (xy[..., 1] - cy) / fy
+    xyn = jnp.stack([xn, yn], -1)
+    if dist is not None:
+        xyn = _UNDISTORT[model](xyn, dist)
+    if rect is not None:
+        ray = jnp.stack(
+            [xyn[..., 0], xyn[..., 1], jnp.ones_like(xyn[..., 0])], -1)
+        ray = ray @ rect.T
+        z = jnp.where(jnp.abs(ray[..., 2]) < 1e-9, 1e-9, ray[..., 2])
+        xyn = ray[..., :2] / z[..., None]
+    return jnp.stack([xyn[..., 0] * fx + cx, xyn[..., 1] * fy + cy], -1)
+
+
+def distort_pixels(xy: Array, intrinsics: Array, dist: Array | None,
+                   model: str = "brown_conrady",
+                   rect: Array | None = None) -> Array:
+    """Ideal-pinhole pixel coords (..., 2) -> RAW pixel coords (exact
+    inverse of `undistort_pixels`, same `rect` convention)."""
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    xn = (xy[..., 0] - cx) / fx
+    yn = (xy[..., 1] - cy) / fy
+    xyn = jnp.stack([xn, yn], -1)
+    if rect is not None:
+        ray = jnp.stack(
+            [xyn[..., 0], xyn[..., 1], jnp.ones_like(xyn[..., 0])], -1)
+        ray = ray @ rect            # rect^-1 = rect^T applied to rays
+        z = jnp.where(jnp.abs(ray[..., 2]) < 1e-9, 1e-9, ray[..., 2])
+        xyn = ray[..., :2] / z[..., None]
+    if dist is not None:
+        xyn = _DISTORT[model](xyn, dist)
+    return jnp.stack([xyn[..., 0] * fx + cx, xyn[..., 1] * fy + cy], -1)
+
+
 def project(points: Array, intrinsics: Array, dist: Array | None = None,
             model: str = "brown_conrady") -> Array:
     """Camera-frame 3D (..., 3) -> pixel coords (..., 2).

@@ -64,8 +64,14 @@ def build_argparser():
 
 def _open_source(args):
     """Resolve the frame source.  Returns (frames() iterator of
-    (gray, depth, right, imu_packet), n, (h, w), intrinsics, baseline, gt)."""
+    (gray, depth, right, imu_packet), n, (h, w), intrinsics, baseline, gt,
+    cal) where cal carries the camera-distortion calibration the loader
+    found (keys: dist, dist_model, dist_r, rect_l, rect_r, intrinsics_r —
+    see io/datasets.EurocStereo)."""
     import numpy as np
+
+    no_cal = {"dist": None, "dist_model": "brown_conrady", "dist_r": None,
+              "rect_l": None, "rect_r": None, "intrinsics_r": None}
 
     if args.synthetic:
         from jetracer_orbslam2_tpu.io.synthetic import generate_sequence
@@ -79,7 +85,7 @@ def _open_source(args):
                 yield (np.asarray(seq.gray[i]), np.asarray(seq.depth[i]),
                        None, None)
 
-        return frames, n, (480, 640), seq.intrinsics, 0.0, gt
+        return frames, n, (480, 640), seq.intrinsics, 0.0, gt, no_cal
 
     from jetracer_orbslam2_tpu.io.datasets import open_dataset
 
@@ -89,6 +95,7 @@ def _open_source(args):
     gt = ds.groundtruth[:n] if ds.groundtruth is not None else None
     # per-frame IMU packets when the dataset ships an IMU (EuRoC imu0)
     imu_pk = getattr(ds, "imu_packets", lambda: None)()
+    cal = {k: getattr(ds, k, v) for k, v in no_cal.items()}
 
     def frames():
         for i in range(n):
@@ -99,10 +106,10 @@ def _open_source(args):
                 pk = (g[i], gts[i], a[i], gok[i], aok[i])
             yield (fr.gray, fr.depth, fr.right, pk)
 
-    return frames, n, f0.gray.shape, ds.intrinsics, ds.baseline, gt
+    return frames, n, f0.gray.shape, ds.intrinsics, ds.baseline, gt, cal
 
 
-def _run_odometry(args, frames, n, hw, intr, gt):
+def _run_odometry(args, frames, n, hw, intr, gt, cal):
     """Whole-sequence on-device odometry scan (the bench.py fast path —
     one compiled program over the full frame stack, no per-frame host
     round-trips)."""
@@ -116,7 +123,8 @@ def _run_odometry(args, frames, n, hw, intr, gt):
 
     h, w = hw
     fcfg = FrontendConfig(height=h, width=w, num_levels=args.levels,
-                          max_keypoints=args.max_keypoints)
+                          max_keypoints=args.max_keypoints,
+                          dist=cal["dist"], dist_model=cal["dist_model"])
     tcfg = TrackingConfig()
     gray = []
     depth = []
@@ -169,11 +177,11 @@ def main(argv=None) -> int:
     from jetracer_orbslam2_tpu.config import FrontendConfig, SystemConfig
     from jetracer_orbslam2_tpu.evaluation import ate
 
-    frames, n, hw, intr, baseline, gt = _open_source(args)
+    frames, n, hw, intr, baseline, gt, cal = _open_source(args)
     h, w = hw
 
     if args.mode == "odometry":
-        res = _run_odometry(args, frames, n, hw, intr, gt)
+        res = _run_odometry(args, frames, n, hw, intr, gt, cal)
         if res is None:
             return 2
         report, poses = res
@@ -188,7 +196,8 @@ def main(argv=None) -> int:
 
         cfg = SystemConfig(frontend=FrontendConfig(
             height=h, width=w, num_levels=args.levels,
-            max_keypoints=args.max_keypoints))
+            max_keypoints=args.max_keypoints,
+            dist=cal["dist"], dist_model=cal["dist_model"]))
         mesh = None
         if args.mesh:
             from jetracer_orbslam2_tpu.parallel.mesh import virtual_mesh
@@ -229,7 +238,8 @@ def main(argv=None) -> int:
     cfg = SystemConfig(
         frontend=FrontendConfig(
             height=h, width=w, num_levels=args.levels,
-            max_keypoints=args.max_keypoints))
+            max_keypoints=args.max_keypoints,
+            dist=cal["dist"], dist_model=cal["dist_model"]))
 
     mesh = None
     if args.mesh:
@@ -264,11 +274,16 @@ def main(argv=None) -> int:
     is_stereo = baseline > 0.0
     t_cfg = cfg.tracking
 
+    intr_r = (None if cal["intrinsics_r"] is None
+              else jnp.asarray(cal["intrinsics_r"]))
+
     def stereo_feats(gray, right):
         return frontend_stereo(
             jnp.asarray(gray), jnp.asarray(right), jnp.asarray(intr),
             float(baseline), cfg.frontend,
-            max_depth=t_cfg.max_depth if t_cfg.max_depth > 8 else 80.0)
+            max_depth=t_cfg.max_depth if t_cfg.max_depth > 8 else 80.0,
+            dist_r=cal["dist_r"], rect_l=cal["rect_l"],
+            rect_r=cal["rect_r"], intrinsics_r=intr_r)
 
     from jetracer_orbslam2_tpu.runtime.liveness import Watchdog
 

@@ -17,7 +17,8 @@ import numpy as np
 
 
 def main(out="tests/fixtures/euroc_tiny/mav0", n=20, h=120, w=160,
-         fps=20.0, imu_rate=200.0) -> None:
+         fps=20.0, imu_rate=200.0, dist_l=None, dist_r=None,
+         right_rot=None) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -30,7 +31,8 @@ def main(out="tests/fixtures/euroc_tiny/mav0", n=20, h=120, w=160,
     baseline = 0.110074                       # EuRoC cam0-cam1 baseline
     seq = generate_stereo_sequence(
         n_frames=n, shape=(h, w), seed=11, step=0.035, yaw_rate=0.01,
-        baseline=baseline)
+        baseline=baseline, dist_l=dist_l, dist_r=dist_r,
+        right_rotation=right_rot)
 
     t0_ns = 1_403_636_579_763_555_584         # EuRoC MH01-style epoch ns
     frame_ns = (t0_ns + (np.arange(n) / fps * 1e9)).astype(np.int64)
@@ -48,12 +50,42 @@ def main(out="tests/fixtures/euroc_tiny/mav0", n=20, h=120, w=160,
             f.write("\n".join(lines) + "\n")
 
     intr = np.asarray(seq.intrinsics)
-    with open(os.path.join(out, "cam0", "sensor.yaml"), "w") as f:
-        f.write("sensor_type: camera\ncamera_model: pinhole\n"
-                f"intrinsics: [{intr[0]:.4f}, {intr[1]:.4f}, "
-                f"{intr[2]:.4f}, {intr[3]:.4f}]\n"
-                f"baseline: {baseline}\n"
-                f"resolution: [{w}, {h}]\n")
+    if dist_l is None and dist_r is None and right_rot is None:
+        # pre-rectified fixture: the minimal yaml (baseline shorthand)
+        with open(os.path.join(out, "cam0", "sensor.yaml"), "w") as f:
+            f.write("sensor_type: camera\ncamera_model: pinhole\n"
+                    f"intrinsics: [{intr[0]:.4f}, {intr[1]:.4f}, "
+                    f"{intr[2]:.4f}, {intr[3]:.4f}]\n"
+                    f"baseline: {baseline}\n"
+                    f"resolution: [{w}, {h}]\n")
+    else:
+        # REAL EuRoC distribution format: per-camera T_BS (body = cam0
+        # frame here) + radial-tangential distortion_coefficients —
+        # exercises the loader's extrinsics/distortion parsing and the
+        # keypoint-level rectification end to end
+        shift = np.eye(4)
+        shift[0, 3] = baseline
+        if right_rot is not None:
+            shift[:3, :3] = np.asarray(
+                geo.so3_exp(jnp.asarray(right_rot, jnp.float32)))
+        T_BS = {"cam0": np.eye(4), "cam1": shift}
+        dists = {"cam0": dist_l or (0.0,) * 4, "cam1": dist_r or (0.0,) * 4}
+        for cam in ("cam0", "cam1"):
+            rows = ",\n         ".join(
+                ", ".join(f"{x:.9f}" for x in T_BS[cam][r]) for r in range(4))
+            d = dists[cam][:4]
+            with open(os.path.join(out, cam, "sensor.yaml"), "w") as f:
+                f.write(
+                    "sensor_type: camera\n"
+                    "T_BS:\n  cols: 4\n  rows: 4\n"
+                    f"  data: [{rows}]\n"
+                    "camera_model: pinhole\n"
+                    f"intrinsics: [{intr[0]:.4f}, {intr[1]:.4f}, "
+                    f"{intr[2]:.4f}, {intr[3]:.4f}]\n"
+                    "distortion_model: radial-tangential\n"
+                    f"distortion_coefficients: [{d[0]}, {d[1]}, {d[2]}, "
+                    f"{d[3]}]\n"
+                    f"resolution: [{w}, {h}]\n")
 
     # --- groundtruth: ts[ns], p(3), q(w,x,y,z) ---------------------------
     os.makedirs(os.path.join(out, "state_groundtruth_estimate0"),
@@ -98,4 +130,14 @@ def main(out="tests/fixtures/euroc_tiny/mav0", n=20, h=120, w=160,
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--dist" in sys.argv:
+        # the non-pre-rectified twin of euroc_tiny: same trajectory/scene,
+        # distorted lenses + a tilted right camera (VERDICT round-3 item 1)
+        main(out="tests/fixtures/euroc_tiny_dist/mav0", n=16, h=240, w=320,
+             dist_l=(-0.25, 0.06, 5e-4, 5e-4),
+             dist_r=(-0.22, 0.05, -4e-4, 3e-4),
+             right_rot=(0.008, -0.015, 0.004))
+    else:
+        main()

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from jetracer_orbslam2_tpu.config import (
-    PoseGraphConfig, SystemConfig, FrontendConfig, CameraConfig, MapConfig)
+    PoseGraphConfig, SystemConfig, FrontendConfig, MapConfig)
 from jetracer_orbslam2_tpu.models.backend.pose_graph import (
     PoseGraphProblem, optimize_pose_graph)
 from jetracer_orbslam2_tpu.ops import geometry as geo

@@ -80,6 +80,43 @@ def test_chunked_slam_matches_full_scan():
     np.testing.assert_allclose(poses_ch, poses_full, atol=1e-5)
 
 
+def test_chunked_slam_padded_tail_matches_full_scan():
+    """A sequence that does NOT divide into whole chunks: the final
+    partial chunk is padded with repeats of the last frame, which run
+    with live=False (inert under lax.cond) — so the result is the SAME
+    computation as the unpadded full scan, keyframe count and all
+    (VERDICT round-3 item 9: padding must not mutate real state)."""
+    from jetracer_orbslam2_tpu.io.synthetic import generate_sequence
+
+    n = 18                                   # 1 bootstrap + 3x5 + tail of 2
+    seq = generate_sequence(n_frames=n, shape=(120, 160))
+    cfg = SystemConfig(
+        frontend=FrontendConfig(height=120, width=160, num_levels=2,
+                                max_keypoints=256),
+        map=MapConfig(max_keyframes=16, max_landmarks=2048, max_obs=8192,
+                      kf_min_gap=2, kf_max_gap=4, window_size=4))
+
+    ch = ss.ChunkedSlam(cfg, seq.intrinsics, chunk_size=5)
+    for i in range(n):
+        ch.process_frame(seq.gray[i], seq.depth[i])
+    tail = ch.flush()
+    assert tail is not None and tail.T_rel.shape[0] == 2   # only real rows
+    poses_ch = ch.result()
+    assert poses_ch.shape == (n, 4, 4)
+
+    st = ss.init_scan_state(seq.gray[0], seq.depth[0], seq.intrinsics, cfg)
+    final, out = ss.slam_scan(st, seq.gray[1:], seq.depth[1:],
+                              seq.intrinsics, cfg)
+    poses_full = np.concatenate([
+        np.asarray(final.m.kf_pose)[:1], ss.compose_trajectory(final, out)])
+    # identical state: the padding inserted no keyframes/landmarks/obs
+    assert int(ch.state.m.num_kf) == int(final.m.num_kf)
+    assert int(ch.state.m.num_lm) == int(final.m.num_lm)
+    assert int(ch.state.m.num_obs) == int(final.m.num_obs)
+    assert int(ch.state.frame_idx) == int(final.frame_idx)
+    np.testing.assert_allclose(poses_ch, poses_full, atol=1e-5)
+
+
 def test_slam_scan_sharded_ba_matches_meshless():
     """With a mesh, every windowed BA inside the scan runs through
     sharded_local_ba (shard_map under lax.cond under lax.scan) and the
