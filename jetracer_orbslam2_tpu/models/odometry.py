@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jetracer_orbslam2_tpu.config import FrontendConfig, TrackingConfig
 from jetracer_orbslam2_tpu.models import tracking
@@ -54,8 +55,29 @@ def init_state(
 
 def _step(
     state: OdomState, gray: Array, depth: Array, intrinsics: Array,
-    fcfg: FrontendConfig, tcfg: TrackingConfig,
+    fcfg: FrontendConfig, tcfg: TrackingConfig, live=None,
 ) -> tuple[OdomState, tracking.TrackResult]:
+    """One odometry frame -> (state, TrackResult).
+
+    `live` (scalar bool, optional): False marks chunk PADDING
+    (ChunkedOdometry's partial tail) — the step is skipped under lax.cond
+    so padded frames leave the state untouched."""
+    if live is not None:
+        k = fcfg.max_keypoints
+
+        def run(st):
+            return _step(st, gray, depth, intrinsics, fcfg, tcfg)
+
+        def skip(st):
+            return st, tracking.TrackResult(
+                T_wc=st.T_wc, velocity=st.velocity,
+                num_matches=jnp.int32(0), num_inliers=jnp.int32(0),
+                tracked_ok=jnp.asarray(False),
+                match_idx=jnp.zeros(k, jnp.int32),
+                inlier_mask=jnp.zeros(k, bool))
+
+        return jax.lax.cond(live, run, skip, state)
+
     feats = frontend_gray_depth(
         gray, depth, intrinsics, fcfg,
         min_depth=tcfg.min_depth, max_depth=tcfg.max_depth)
@@ -84,19 +106,83 @@ def odometry_step(
 @functools.partial(jax.jit, static_argnames=("fcfg", "tcfg"))
 def odometry_scan(
     state: OdomState, grays: Array, depths: Array, intrinsics: Array,
-    fcfg: FrontendConfig, tcfg: TrackingConfig,
+    fcfg: FrontendConfig, tcfg: TrackingConfig, live: Array | None = None,
 ) -> tuple[OdomState, Array, Array]:
     """Run odometry over a whole (N, H, W) sequence on device.
 
     Returns (final state, (N,4,4) poses T_wc, (N,) tracked_ok).  This is the
     dataset-replay fast path: the reference's worker free-list pipelining
     (SlamGpuPipeline.cpp:41-50) becomes a single scanned device program.
+    live: (N,) bool, optional — False rows are inert padding (chunk tails).
     """
 
-    def body(st, frame):
-        g, d = frame
-        st2, res = _step(st, g, d, intrinsics, fcfg, tcfg)
-        return st2, (res.T_wc, res.tracked_ok)
+    if live is None:
+        def body(st, frame):
+            g, d = frame
+            st2, res = _step(st, g, d, intrinsics, fcfg, tcfg)
+            return st2, (res.T_wc, res.tracked_ok)
 
-    final, (poses, ok) = jax.lax.scan(body, state, (grays, depths))
+        final, (poses, ok) = jax.lax.scan(body, state, (grays, depths))
+    else:
+        def body(st, frame):
+            g, d, lv = frame
+            st2, res = _step(st, g, d, intrinsics, fcfg, tcfg, live=lv)
+            return st2, (res.T_wc, res.tracked_ok)
+
+        final, (poses, ok) = jax.lax.scan(body, state, (grays, depths, live))
     return final, poses, ok
+
+
+class ChunkedOdometry:
+    """Constant-memory streaming odometry: frames run through
+    `odometry_scan` in fixed-size chunks with `OdomState` carried across —
+    device memory holds one chunk instead of the whole sequence (VERDICT
+    round-3 item 8: `--mode odometry` used to materialize the full frame
+    stack, ~8 GB for a KITTI-00-length run).  One host sync per chunk;
+    the tail chunk is padded with live=False rows, so results are
+    bit-identical to the whole-sequence scan."""
+
+    def __init__(self, intrinsics, fcfg: FrontendConfig,
+                 tcfg: TrackingConfig, chunk_size: int = 32, seed: int = 0):
+        self.intr = jnp.asarray(intrinsics, jnp.float32)
+        self.fcfg, self.tcfg = fcfg, tcfg
+        self.chunk = chunk_size
+        self.seed = seed
+        self.state: OdomState | None = None
+        self._pending_g: list = []
+        self._pending_d: list = []
+        self._poses: list = [np.eye(4, dtype=np.float32)[None]]
+        self._ok: list = [np.ones(1, bool)]
+
+    def process_frame(self, gray, depth) -> None:
+        if self.state is None:
+            self.state = init_state(
+                jnp.asarray(gray), jnp.asarray(depth), self.intr,
+                self.fcfg, self.tcfg, seed=self.seed)
+            return
+        # keep device-resident inputs on device (see ChunkedSlam note)
+        self._pending_g.append(gray)
+        self._pending_d.append(depth)
+        if len(self._pending_g) >= self.chunk:
+            self.flush()
+
+    def flush(self) -> None:
+        n = len(self._pending_g)
+        if n == 0:
+            return
+        pad = self.chunk - n
+        g = jnp.stack(self._pending_g + [self._pending_g[-1]] * pad)
+        d = jnp.stack(self._pending_d + [self._pending_d[-1]] * pad)
+        self._pending_g.clear()
+        self._pending_d.clear()
+        live = jnp.arange(self.chunk) < n
+        self.state, poses, ok = odometry_scan(
+            self.state, g, d, self.intr, self.fcfg, self.tcfg, live=live)
+        self._poses.append(np.asarray(poses)[:n])
+        self._ok.append(np.asarray(ok)[:n])
+
+    def result(self) -> tuple[np.ndarray, np.ndarray]:
+        """((N, 4, 4) poses, (N,) tracked) for all processed frames."""
+        if self.state is None:
+            return (np.zeros((0, 4, 4), np.float32), np.zeros(0, bool))
+        return np.concatenate(self._poses), np.concatenate(self._ok)

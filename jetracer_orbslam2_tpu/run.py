@@ -35,9 +35,11 @@ def build_argparser():
                    help="slam = full system (map/BA/loops); odometry = "
                         "whole-sequence on-device scan (RGB-D only)")
     p.add_argument("--chunked", type=int, default=0, metavar="C",
-                   help="micro-batched SLAM: run the full system as "
-                        "on-device scans over C-frame chunks (one host "
-                        "sync per chunk; RGB-D only)")
+                   help="micro-batched processing over C-frame chunks "
+                        "(one host sync per chunk; RGB-D only).  With "
+                        "--mode slam: the full system as on-device scans; "
+                        "with --mode odometry: constant-memory streaming "
+                        "(sequence length no longer bounds device memory)")
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--checkpoint", help="directory to save the final map")
     p.add_argument("--resume", help="checkpoint directory to start from")
@@ -119,13 +121,38 @@ def _run_odometry(args, frames, n, hw, intr, gt, cal):
 
     from jetracer_orbslam2_tpu.config import FrontendConfig, TrackingConfig
     from jetracer_orbslam2_tpu.models.odometry import (
-        init_state, odometry_scan)
+        ChunkedOdometry, init_state, odometry_scan)
 
     h, w = hw
     fcfg = FrontendConfig(height=h, width=w, num_levels=args.levels,
                           max_keypoints=args.max_keypoints,
                           dist=cal["dist"], dist_model=cal["dist_model"])
     tcfg = TrackingConfig()
+
+    if args.chunked:
+        # constant-memory streaming: device holds one chunk, not the
+        # whole sequence (bit-identical to the full scan — live-masked
+        # tail padding)
+        ch = ChunkedOdometry(intr, fcfg, tcfg, chunk_size=args.chunked)
+        t0 = time.perf_counter()
+        count = 0
+        for g, d, right, _ in frames():
+            if d is None:
+                log.error("odometry mode needs depth frames; use --mode "
+                          "slam for stereo datasets")
+                return None
+            ch.process_frame(np.asarray(g), np.asarray(d))
+            count += 1
+        ch.flush()
+        poses, ok = ch.result()
+        wall = time.perf_counter() - t0
+        return {
+            "mode": f"odometry-chunked{args.chunked}",
+            "frames": count,
+            "fps": round(count / wall, 2),
+            "tracked_frac": float(np.mean(ok)),
+        }, poses
+
     gray = []
     depth = []
     for g, d, right, _ in frames():
