@@ -51,6 +51,16 @@ class FrontendConfig:
     # None = pre-rectified input (TUM, KITTI, EuRoC post-processing).
     dist: Optional[Tuple[float, ...]] = None
     dist_model: str = "brown_conrady"
+    # UNREGISTERED depth: when the depth camera is not pre-aligned to the
+    # color camera (the RealSense case — the reference runs its align
+    # kernel on every frame, src/cuda/cuda-align.cu:366-399), set the
+    # depth camera's intrinsics (fx, fy, cx, cy), its distortion, and the
+    # color<-depth extrinsic (row-major 16 floats); the frontend then
+    # re-renders each depth map into the color frame on device
+    # (ops/align.align_depth_to_color) before keypoint backprojection.
+    depth_intrinsics: Optional[Tuple[float, ...]] = None
+    depth_dist: Optional[Tuple[float, ...]] = None
+    T_color_depth: Optional[Tuple[float, ...]] = None
 
     @property
     def patch_radius(self) -> int:

@@ -187,6 +187,26 @@ class TumRGBD:
             if len(vals) >= 9 and any(v != 0.0 for v in vals[4:9]):
                 self.dist = tuple(vals[4:9])
         self.baseline = 0.0
+        # optional depth_calib.txt marks UNREGISTERED depth (the raw
+        # RealSense situation the reference aligns on every frame,
+        # src/cuda/cuda-align.cu:366-399): line 1 = depth camera
+        # "fx fy cx cy" (+ optional "k1 k2 p1 p2 k3"), then 16 numbers of
+        # the row-major color<-depth extrinsic T_color_depth
+        self.depth_intrinsics = None
+        self.depth_dist = None
+        self.T_color_depth = None
+        dc_path = os.path.join(root, "depth_calib.txt")
+        if os.path.exists(dc_path):
+            with open(dc_path) as f:
+                lines = [ln for ln in f.read().splitlines()
+                         if ln.strip() and not ln.startswith("#")]
+            head = [float(x) for x in lines[0].split()]
+            self.depth_intrinsics = tuple(head[:4])
+            if len(head) >= 9 and any(v != 0.0 for v in head[4:9]):
+                self.depth_dist = tuple(head[4:9])
+            T = [float(x) for ln in lines[1:] for x in ln.split()]
+            assert len(T) == 16, f"{dc_path}: expected 16 extrinsic values"
+            self.T_color_depth = tuple(T)
 
     @staticmethod
     def _read_list(path):

@@ -110,6 +110,20 @@ def frontend_gray_depth(
     # src/cuda/cuda-align.cu:23-109) and the published keypoint coords are
     # ideal-pinhole (see Features docstring).
     dist = None if cfg.dist is None else jnp.asarray(cfg.dist, jnp.float32)
+    if cfg.depth_intrinsics is not None:
+        # UNREGISTERED depth camera: re-render the depth map into the
+        # color frame first — the reference's per-frame production align
+        # kernel (src/cuda/cuda-align.cu:366-399) as an on-device
+        # scatter-min, fused into this jitted frontend.
+        depth = align.align_depth_to_color(
+            depth,
+            jnp.asarray(cfg.depth_intrinsics, jnp.float32),
+            intrinsics,
+            jnp.asarray(cfg.T_color_depth, jnp.float32).reshape(4, 4),
+            gray.shape,
+            depth_dist=(None if cfg.depth_dist is None
+                        else jnp.asarray(cfg.depth_dist, jnp.float32)),
+            color_dist=dist)
     pts, has_depth = align.backproject_keypoints(
         kp.xy, depth, intrinsics, dist=dist, model=cfg.dist_model,
         min_depth=min_depth, max_depth=max_depth

@@ -73,7 +73,9 @@ def _open_source(args):
     import numpy as np
 
     no_cal = {"dist": None, "dist_model": "brown_conrady", "dist_r": None,
-              "rect_l": None, "rect_r": None, "intrinsics_r": None}
+              "rect_l": None, "rect_r": None, "intrinsics_r": None,
+              "depth_intrinsics": None, "depth_dist": None,
+              "T_color_depth": None}
 
     if args.synthetic:
         from jetracer_orbslam2_tpu.io.synthetic import generate_sequence
@@ -126,7 +128,10 @@ def _run_odometry(args, frames, n, hw, intr, gt, cal):
     h, w = hw
     fcfg = FrontendConfig(height=h, width=w, num_levels=args.levels,
                           max_keypoints=args.max_keypoints,
-                          dist=cal["dist"], dist_model=cal["dist_model"])
+                          dist=cal["dist"], dist_model=cal["dist_model"],
+                          depth_intrinsics=cal["depth_intrinsics"],
+                          depth_dist=cal["depth_dist"],
+                          T_color_depth=cal["T_color_depth"])
     tcfg = TrackingConfig()
 
     if args.chunked:
@@ -224,7 +229,10 @@ def main(argv=None) -> int:
         cfg = SystemConfig(frontend=FrontendConfig(
             height=h, width=w, num_levels=args.levels,
             max_keypoints=args.max_keypoints,
-            dist=cal["dist"], dist_model=cal["dist_model"]))
+            dist=cal["dist"], dist_model=cal["dist_model"],
+            depth_intrinsics=cal["depth_intrinsics"],
+            depth_dist=cal["depth_dist"],
+            T_color_depth=cal["T_color_depth"]))
         mesh = None
         if args.mesh:
             from jetracer_orbslam2_tpu.parallel.mesh import virtual_mesh
@@ -266,7 +274,10 @@ def main(argv=None) -> int:
         frontend=FrontendConfig(
             height=h, width=w, num_levels=args.levels,
             max_keypoints=args.max_keypoints,
-            dist=cal["dist"], dist_model=cal["dist_model"]))
+            dist=cal["dist"], dist_model=cal["dist_model"],
+            depth_intrinsics=cal["depth_intrinsics"],
+            depth_dist=cal["depth_dist"],
+            T_color_depth=cal["T_color_depth"]))
 
     mesh = None
     if args.mesh:

@@ -16,16 +16,43 @@ import os
 import numpy as np
 
 
-def main(out="tests/fixtures/tum_tiny", n=24, h=120, w=160) -> None:
+def main(out="tests/fixtures/tum_tiny", n=24, h=120, w=160,
+         unaligned_depth=False) -> None:
     import jax
     import jax.numpy as jnp
     from PIL import Image
 
-    from jetracer_orbslam2_tpu.io.synthetic import generate_sequence
+    from jetracer_orbslam2_tpu.io.synthetic import (
+        _PLANES, generate_sequence, make_texture, render_frame)
+    from jetracer_orbslam2_tpu.ops import geometry as geo
 
     jax.config.update("jax_platforms", "cpu")
     seq = generate_sequence(n_frames=n, shape=(h, w), seed=7,
                             step=0.03, yaw_rate=0.006)
+    depth_maps = seq.depth
+    if unaligned_depth:
+        # render depth from a physically offset depth camera (RealSense
+        # RGB<->depth geometry — the misalignment the reference's
+        # production align kernel corrects every frame,
+        # /root/reference/src/cuda/cuda-align.cu:366-399)
+        T_cd = np.eye(4, dtype=np.float32)           # color <- depth
+        T_cd[:3, :3] = np.asarray(
+            geo.so3_exp(jnp.asarray([0.01, -0.02, 0.005])))
+        T_cd[:3, 3] = (0.025, 0.004, 0.002)
+        depth_intr = np.asarray(seq.intrinsics) * np.asarray(
+            [1.06, 1.06, 1.0, 1.0], np.float32)      # different depth lens
+        keys = jax.random.split(jax.random.PRNGKey(7), len(_PLANES))
+        textures = jnp.stack([make_texture(k) for k in keys])
+        render_d = jax.vmap(lambda T: render_frame(
+            T, jnp.asarray(depth_intr), textures, (h, w)))
+        _, depth_maps = render_d(seq.poses @ jnp.asarray(T_cd))
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "depth_calib.txt"), "w") as f:
+            f.write("# depth camera: fx fy cx cy\n")
+            f.write(" ".join(f"{v:.4f}" for v in depth_intr) + "\n")
+            f.write("# T_color_depth row-major\n")
+            for r in range(4):
+                f.write(" ".join(f"{v:.8f}" for v in T_cd[r]) + "\n")
     os.makedirs(os.path.join(out, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(out, "depth"), exist_ok=True)
     t0 = 1_305_031_100.0                       # TUM fr1-style epoch seconds
@@ -36,7 +63,7 @@ def main(out="tests/fixtures/tum_tiny", n=24, h=120, w=160) -> None:
         gray = np.asarray(seq.gray[i]).clip(0, 255).astype(np.uint8)
         Image.fromarray(gray, mode="L").save(
             os.path.join(out, "rgb", name), optimize=True)
-        d16 = (np.asarray(seq.depth[i]) * 5000.0).clip(0, 65535)
+        d16 = (np.asarray(depth_maps[i]) * 5000.0).clip(0, 65535)
         Image.fromarray(d16.astype(np.uint16)).save(
             os.path.join(out, "depth", name), optimize=True)
         rgb_lines.append(f"{ts:.6f} rgb/{name}")
@@ -69,4 +96,11 @@ def main(out="tests/fixtures/tum_tiny", n=24, h=120, w=160) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--unaligned" in sys.argv:
+        # unregistered-depth twin of tum_tiny: depth rendered from an
+        # offset depth camera + depth_calib.txt (VERDICT round-3 item 7)
+        main(out="tests/fixtures/tum_tiny_unaligned", unaligned_depth=True)
+    else:
+        main()
