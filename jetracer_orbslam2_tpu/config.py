@@ -107,6 +107,16 @@ class TrackingConfig:
     match_ratio: float = 0.9            # best/second-best Lowe ratio
     ransac_iters: int = 256             # batched hypotheses (Kabsch on 3-pt sets)
     ransac_inlier_thresh: float = 0.05  # m, 3D-3D inlier distance
+    # depth-dependent widening of the 3D inlier gate: effective threshold
+    # is ransac_inlier_thresh + ransac_depth_quad * z^2.  Stereo/ToF depth
+    # error grows quadratically with range (the reference's own D435i is
+    # spec'd ~2% of z at 2 m, i.e. sigma ~1% * z^2; 0.02 is the 2-sigma
+    # gate) — a fixed metric gate starves RANSAC of inliers whenever only
+    # far geometry is visible and tracking collapses exactly where the
+    # sensor is noisiest (round-4 diagnosis: the bench lap lost frames
+    # 49-61 staring at the 5 m wall; 0.01 tracked but sat on the margin,
+    # flipping between CPU and TPU arithmetic).
+    ransac_depth_quad: float = 0.02     # m^-1
     min_matches: int = 12
     min_inliers: int = 8
     max_depth: float = 8.0              # m, reject far/invalid depth
@@ -132,6 +142,21 @@ class MapConfig:
     cull_min_obs: int = 3
     cull_min_age_kf: int = 3
     compact_at: float = 0.8
+    # keyframe culling / slot recycling (map.compact_keyframes): when the
+    # keyframe table passes compact_at of its budget, cull redundant
+    # keyframes (>= kf_cull_redundancy of their observed landmarks are
+    # covisible from >= kf_cull_min_covisible OTHER keyframes — the
+    # ORB-SLAM2 redundant-KF rule) and, under capacity pressure, force the
+    # most redundant ones out until only kf_target_fill of the table is
+    # occupied.  Slot 0 (gauge), the newest kf_protect_recent slots (the BA
+    # window) and loop-edge endpoints are never culled.  Culled keyframes
+    # retire into a bounded ring (uid + pose relative to a surviving
+    # anchor) so trajectory anchoring stays exact across recycling.
+    kf_cull_redundancy: float = 0.9
+    kf_cull_min_covisible: int = 3
+    kf_protect_recent: int = 8
+    kf_target_fill: float = 0.75
+    max_dead_keyframes: int = 2048
     # retained loop-closure constraints (KITTI-00-class sequences close
     # many loops; every pose-graph solve re-applies ALL accepted edges)
     max_loop_edges: int = 32
@@ -169,7 +194,28 @@ class LoopClosureConfig:
     min_sim: float = 0.55               # centered-cosine retrieval gate
     min_kf_gap: int = 10                # don't match the last N keyframes
     ransac_inlier_thresh: float = 0.10
+    # depth-scaled widening of the verification gate, same sensor model as
+    # TrackingConfig.ransac_depth_quad: loop pairs are often far geometry
+    # (the revisit is seen across the room), exactly where a fixed metric
+    # gate starves the RANSAC
+    ransac_depth_quad: float = 0.02
     min_inliers: int = 20
+    # hardening against perceptual aliasing (round-3 weak item 3):
+    # top-N retrieval shortlist with batched geometric verification (the
+    # best-RANSAC candidate wins, so an aliased near-duplicate at rank 1
+    # cannot shadow the true revisit), a temporal-consistency gate
+    # (ORB-SLAM2's consecutive-detection rule: the winning candidate must
+    # lie within consistency_window FRAMES of the previous keyframe's
+    # winning candidate for min_consistency consecutive keyframes), and a
+    # world-frame check (the candidate's landmarks at their CURRENT
+    # post-BA positions must reproject into the query under the
+    # hypothesized pose — kf_points alone are frozen at insert time).
+    topn: int = 3
+    min_consistency: int = 2
+    consistency_window: int = 45        # frames (keyframe-uid distance)
+    world_window: float = 16.0          # px reprojection gate, world check
+    world_min_inliers: int = 10
+    world_max_obs: int = 256            # landmarks gathered per candidate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -184,6 +230,7 @@ class RelocConfig:
     min_sim: float = 0.4                # retrieval gate (looser than loops:
     #                                     geometric RANSAC does the vetting)
     ransac_inlier_thresh: float = 0.10
+    ransac_depth_quad: float = 0.02     # see LoopClosureConfig
     min_inliers: int = 15
 
 

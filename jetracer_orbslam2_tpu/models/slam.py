@@ -111,7 +111,17 @@ def track_and_associate(
     w_trim = w * (resid < 2.0 * cfg.tracking.ransac_inlier_thresh)
     enough = jnp.sum(w_trim) >= cfg.tracking.min_inliers
     T_ref = geo.kabsch(curr.points, pts_w, w_trim)
-    T_wc = jnp.where(enough & res.tracked_ok, T_ref, res.T_wc)
+    # motion-only reprojection polish against the MAP (the ORB-SLAM2
+    # TrackLocalMap step): landmark positions are BA-refined, and pixel
+    # measurements are unbiased where 3D depth noise grows as z^2 — so the
+    # final pose minimizes reprojection of the associated landmarks onto
+    # the current keypoints, not the 3D-3D Kabsch alone (round-3 weak
+    # item 1: the polish ran frame-to-frame but never against the map)
+    z_meas = jnp.where(curr.has_point, curr.points[:, 2], 0.0)
+    T_cw = tracking.refine_pose_reprojection(
+        geo.pose_inverse(T_ref), pts_w, curr.xy, z_meas, w_trim, intrinsics)
+    T_wc = jnp.where(enough & res.tracked_ok,
+                     geo.pose_inverse(T_cw), res.T_wc)
     res = res._replace(T_wc=T_wc)
 
     n_pts = jnp.sum(curr.has_point).astype(jnp.float32)
@@ -226,6 +236,11 @@ class Slam:
         self.lost_streak = 0
         self.num_relocs = 0
         self.num_compactions = 0
+        # loop-closure temporal-consistency gate state (backend/loop.py
+        # retrieve_and_verify): uid of the last keyframe's winning
+        # candidate + current consecutive-detection streak
+        self._loop_prev_uid = -1_000_000
+        self._loop_consist = 0
         self.trajectory: list[np.ndarray] = []   # live (causal) estimates
         self.tracked: list[bool] = []
         # every frame is anchored to its reference keyframe: the FINAL
@@ -233,10 +248,14 @@ class Slam:
         # keyframe's OPTIMIZED pose, so local-BA and loop-closure
         # corrections apply retroactively to the whole trajectory (the
         # ORB-SLAM2 output convention; the live causal estimate cannot
-        # benefit from a loop that closes later).
-        self.frame_ref_kf: list[int] = []
+        # benefit from a loop that closes later).  Frames record the
+        # keyframe's UID (its frame_id) rather than its slot: slot indices
+        # are recycled by compact_keyframes, uids never are; result()
+        # resolves uids through the live table + retired ring
+        # (map.resolve_kf_poses).
+        self.frame_ref_uid: list[int] = []
         self.frame_rel: list[np.ndarray] = []    # T_refkf_frame at record time
-        self._ref_slot = 0
+        self._ref_uid = 0
         self._ref_pose_np = np.eye(4, dtype=np.float32)
         # IMU attitude rides alongside the visual pipeline, exactly as the
         # reference attaches its complementary-filter theta to every frame
@@ -269,16 +288,26 @@ class Slam:
         self.frames_since_kf = 0
         return slot
 
-    def _maybe_compact(self, num_obs: int, num_lm: int) -> None:
+    def _maybe_compact(self, num_obs: int, num_lm: int, num_kf: int) -> None:
         """Recycle map capacity when a budget crosses the compact threshold
-        (landmark culling + observation compaction, map.compact_map) —
-        keeps long sequences mapping forever inside fixed arrays instead of
-        silently saturating.  Counters arrive from the packed keyframe-meta
-        fetch (no extra device sync)."""
+        — keyframe culling + slot recycling (map.compact_keyframes) when
+        the keyframe table fills, then landmark culling + observation
+        compaction (map.compact_map) — keeps long sequences mapping forever
+        inside fixed arrays instead of silently saturating.  Counters
+        arrive from the packed keyframe-meta fetch (no extra device sync).
+        """
         mc = self.cfg.map
         obs_cap = self.m.obs_valid.shape[0]
         lm_cap = self.m.lm_valid.shape[0]
-        if (num_obs > mc.compact_at * obs_cap
+        kf_cap = self.m.kf_valid.shape[0]
+        kf_full = num_kf > mc.compact_at * kf_cap
+        if kf_full:
+            self.m = map_mod.compact_keyframes(
+                self.m, jnp.float32(mc.kf_cull_redundancy),
+                jnp.int32(mc.kf_cull_min_covisible),
+                jnp.int32(mc.kf_protect_recent),
+                jnp.int32(round(mc.kf_target_fill * kf_cap)))
+        if (kf_full or num_obs > mc.compact_at * obs_cap
                 or num_lm > mc.compact_at * lm_cap):
             self.m = map_mod.compact_map(
                 self.m, jnp.float32(mc.cull_min_obs),
@@ -317,7 +346,8 @@ class Slam:
         key = jax.random.fold_in(self.base_key, 20_000 + self.frame_idx)
         ver = loop_mod.verify_features(
             self.m, feats.desc, feats.has_point, feats.points, cand.kf_idx,
-            key, rc.ransac_inlier_thresh, rc.min_inliers)
+            key, rc.ransac_inlier_thresh, rc.min_inliers,
+            rc.ransac_depth_quad)
         if not bool(ver.ok):
             return False
         # T_ab: keyframe-camera -> query-camera; T_w_query = T_w_kf @ T_ab^-1
@@ -364,11 +394,10 @@ class Slam:
             # bootstrap keyframe: everything with depth becomes a landmark
             k = feats.xy.shape[0]
             no_match = jnp.zeros(k, bool)
-            slot = self._insert_keyframe(
-                feats, jnp.zeros(k, jnp.int32), no_match)
-            self._ref_slot = int(slot)
+            self._insert_keyframe(feats, jnp.zeros(k, jnp.int32), no_match)
+            self._ref_uid = self.frame_idx          # kf uid == frame id
             self._ref_pose_np = np.asarray(self.T_wc)
-            self.frame_ref_kf.append(self._ref_slot)
+            self.frame_ref_uid.append(self._ref_uid)
             self.frame_rel.append(np.eye(4, dtype=np.float32))
             self.frame_idx += 1
             return None
@@ -413,30 +442,37 @@ class Slam:
             # slot, BA drop count, and the capacity counters come back in
             # ONE packed fetch.
             lkey = jax.random.fold_in(self.base_key, 10_000 + self.frame_idx)
-            cand_idx, T_ab, loop_ok = loop_mod.retrieve_and_verify(
-                self.m, slot, lkey, self.cfg.loop)
+            cand_idx, T_ab, loop_ok, lp_uid, lp_cons = (
+                loop_mod.retrieve_and_verify(
+                    self.m, slot, lkey, self.cfg.loop, self.intr,
+                    jnp.int32(self._loop_prev_uid),
+                    jnp.int32(self._loop_consist)))
             meta = np.asarray(jnp.stack([
                 slot.astype(jnp.float32),
                 ba_dropped.astype(jnp.float32),
                 self.m.num_obs.astype(jnp.float32),
                 self.m.num_lm.astype(jnp.float32),
                 loop_ok.astype(jnp.float32),
+                self.m.num_kf.astype(jnp.float32),
+                lp_uid.astype(jnp.float32),
+                lp_cons.astype(jnp.float32),
             ]))
-            slot_i = int(meta[0])
             self.ba_edges_dropped += int(meta[1])
+            self._loop_prev_uid = int(meta[6])
+            self._loop_consist = int(meta[7])
             if meta[4] > 0.5:
                 self.m = loop_mod.close(
                     self.m, slot, cand_idx, T_ab, self.cfg.pose_graph)
                 self.num_loops += 1
                 # current pose rides the corrected newest keyframe
                 self.T_wc = self.m.kf_pose[slot]
-            self._maybe_compact(int(meta[2]), int(meta[3]))
+            self._maybe_compact(int(meta[2]), int(meta[3]), int(meta[5]))
             T_np = np.asarray(self.T_wc)
             self.trajectory[-1] = T_np
-            self._ref_slot = slot_i
+            self._ref_uid = self.frame_idx          # kf uid == frame id
             self._ref_pose_np = T_np
 
-        self.frame_ref_kf.append(self._ref_slot)
+        self.frame_ref_uid.append(self._ref_uid)
         self.frame_rel.append(
             np.linalg.inv(self._ref_pose_np).astype(np.float32)
             @ self.trajectory[-1])
@@ -446,13 +482,16 @@ class Slam:
 
     def result(self) -> SlamOutput:
         """Final trajectory: each frame rides its reference keyframe's
-        OPTIMIZED pose (see frame_ref_kf/frame_rel), so the whole history
+        OPTIMIZED pose (see frame_ref_uid/frame_rel), so the whole history
         reflects every local BA and loop closure that happened after the
-        frame was live."""
-        kf_pose = np.asarray(self.m.kf_pose)
+        frame was live.  Reference keyframes culled by compact_keyframes
+        resolve through the retired ring; on ring overflow the frame falls
+        back to its live (causal) estimate."""
+        table = map_mod.resolve_kf_poses(self.m)
         poses = np.stack([
-            kf_pose[ref] @ rel
-            for ref, rel in zip(self.frame_ref_kf, self.frame_rel)
+            table[ref] @ rel if ref in table else live
+            for ref, rel, live in zip(
+                self.frame_ref_uid, self.frame_rel, self.trajectory)
         ])
         return SlamOutput(
             poses=poses,

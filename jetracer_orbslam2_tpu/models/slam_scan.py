@@ -53,14 +53,19 @@ class ScanState(NamedTuple):
     ref_slot: Array        # () int32 reference keyframe of the live frame
     num_loops: Array       # () int32
     num_relocs: Array      # () int32
+    loop_prev_uid: Array   # () int32 last keyframe's winning loop candidate
+    loop_consist: Array    # () int32 consecutive-detection streak
     base_key: Array
 
 
 class ScanOutput(NamedTuple):
     """Per-frame scan emissions (stacked to length N by lax.scan)."""
 
-    ref_slot: Array        # (N,) int32
+    ref_uid: Array         # (N,) int32 reference keyframe UID (frame_id —
+    #                        stable across keyframe slot recycling)
     T_rel: Array           # (N, 4, 4) pose relative to ref keyframe AT EMIT
+    T_w_emit: Array        # (N, 4, 4) live world pose at emit (fallback if
+    #                        the ref keyframe aged out of the retired ring)
     tracked: Array         # (N,) bool
     is_kf: Array           # (N,) bool
 
@@ -91,6 +96,7 @@ def init_scan_state(
         frames_since_kf=jnp.int32(0), lost_streak=jnp.int32(0),
         frame_idx=jnp.int32(1), ref_slot=slot,
         num_loops=jnp.int32(0), num_relocs=jnp.int32(0),
+        loop_prev_uid=jnp.int32(-1_000_000), loop_consist=jnp.int32(0),
         base_key=jax.random.PRNGKey(seed),
     )
 
@@ -108,8 +114,8 @@ def _step(state: ScanState, gray, depth, imu, intrinsics,
 
         def skip(st):
             T_rel = geo.pose_inverse(st.m.kf_pose[st.ref_slot]) @ st.T_wc
-            return st, (st.ref_slot, T_rel, jnp.asarray(False),
-                        jnp.asarray(False))
+            return st, (st.m.kf_frame_id[st.ref_slot], T_rel, st.T_wc,
+                        jnp.asarray(False), jnp.asarray(False))
 
         return jax.lax.cond(live, run, skip, state)
 
@@ -134,7 +140,8 @@ def _step(state: ScanState, gray, depth, imu, intrinsics,
         rkey = jax.random.fold_in(state.base_key, 20_000 + state.frame_idx)
         ver = loop_mod.verify_features(
             m, feats.desc, feats.has_point, feats.points, cand.kf_idx,
-            rkey, rc.ransac_inlier_thresh, rc.min_inliers)
+            rkey, rc.ransac_inlier_thresh, rc.min_inliers,
+            rc.ransac_depth_quad)
         ok = cand.ok & ver.ok
         T_new = m.kf_pose[cand.kf_idx] @ geo.pose_inverse(ver.T_ab)
         T_wc = jnp.where(ok, T_new, T_wc)
@@ -165,8 +172,10 @@ def _step(state: ScanState, gray, depth, imu, intrinsics,
             m = slam_mod.local_ba(m, intrinsics, cfg.map.window_size, cfg)
         T_wc = m.kf_pose[slot]
         lkey = jax.random.fold_in(state.base_key, 10_000 + state.frame_idx)
-        cand_idx, T_ab, loop_ok = loop_mod.retrieve_and_verify(
-            m, slot, lkey, cfg.loop)
+        cand_idx, T_ab, loop_ok, lp_uid, lp_cons = (
+            loop_mod.retrieve_and_verify(
+                m, slot, lkey, cfg.loop, intrinsics,
+                state.loop_prev_uid, state.loop_consist))
         m = jax.lax.cond(
             loop_ok,
             lambda mm: loop_mod.close(mm, slot, cand_idx, T_ab,
@@ -174,11 +183,25 @@ def _step(state: ScanState, gray, depth, imu, intrinsics,
             lambda mm: mm, m)
         T_wc = m.kf_pose[slot]
         # capacity recycling on device (models/slam.Slam._maybe_compact):
-        # cull weak old landmarks + compact the edge list when a budget
-        # crosses the threshold, so unbounded sequences keep mapping
+        # when the keyframe table fills, cull redundant keyframes and
+        # recycle their slots (retired ring keeps trajectory anchoring
+        # exact); then cull weak old landmarks + compact the edge list
+        # when a budget crosses the threshold, so unbounded sequences keep
+        # mapping
         mc = cfg.map
+        kf_cap = m.kf_valid.shape[0]
+        kf_full = m.num_kf > mc.compact_at * kf_cap
+        m = jax.lax.cond(
+            kf_full,
+            lambda mm: map_mod.compact_keyframes(
+                mm, jnp.float32(mc.kf_cull_redundancy),
+                jnp.int32(mc.kf_cull_min_covisible),
+                jnp.int32(mc.kf_protect_recent),
+                jnp.int32(round(mc.kf_target_fill * kf_cap))),
+            lambda mm: mm, m)
         need_compact = (
-            (m.num_obs > mc.compact_at * m.obs_valid.shape[0])
+            kf_full
+            | (m.num_obs > mc.compact_at * m.obs_valid.shape[0])
             | (m.num_lm > mc.compact_at * m.lm_valid.shape[0]))
         m = jax.lax.cond(
             need_compact,
@@ -186,18 +209,23 @@ def _step(state: ScanState, gray, depth, imu, intrinsics,
                 mm, jnp.float32(mc.cull_min_obs),
                 jnp.int32(mc.cull_min_age_kf)),
             lambda mm: mm, m)
-        return m, T_wc, slot, loop_ok
+        # the just-inserted keyframe is the newest and is never culled, but
+        # its SLOT may have moved during compaction
+        slot = m.num_kf - 1
+        return m, T_wc, slot, loop_ok, lp_uid, lp_cons
 
     def no_kf(op):
         m, _, T_wc, _, _ = op
-        return m, T_wc, state.ref_slot, jnp.asarray(False)
+        return (m, T_wc, state.ref_slot, jnp.asarray(False),
+                state.loop_prev_uid, state.loop_consist)
 
     need_kf = report.need_kf
-    m, T_wc, ref_slot, looped = jax.lax.cond(
+    m, T_wc, ref_slot, looped, lp_uid, lp_cons = jax.lax.cond(
         need_kf, kf_branch, no_kf,
         (state.m, feats, T_wc, lm_idx, lm_ok))
 
     T_rel = geo.pose_inverse(m.kf_pose[ref_slot]) @ T_wc
+    ref_uid = m.kf_frame_id[ref_slot]
     new_state = ScanState(
         m=m, prev=feats, T_wc=T_wc, velocity=velocity,
         frames_since_kf=jnp.where(need_kf, 1,
@@ -207,9 +235,11 @@ def _step(state: ScanState, gray, depth, imu, intrinsics,
         ref_slot=ref_slot,
         num_loops=state.num_loops + looped.astype(jnp.int32),
         num_relocs=state.num_relocs + relocd.astype(jnp.int32),
+        loop_prev_uid=lp_uid,
+        loop_consist=lp_cons,
         base_key=state.base_key,
     )
-    return new_state, (ref_slot, T_rel, tracked, need_kf)
+    return new_state, (ref_uid, T_rel, T_wc, tracked, need_kf)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
@@ -243,7 +273,7 @@ def slam_scan(
             g, d, iw, iv = frame
             return _step(st, g, d, (iw, iv), intrinsics, cfg, mesh=mesh)
 
-        final, (ref, T_rel, tracked, is_kf) = jax.lax.scan(
+        final, out = jax.lax.scan(
             body, state, (grays, depths, imu_delta_w, imu_valid))
     else:
         def body(st, frame):
@@ -251,10 +281,9 @@ def slam_scan(
             return _step(st, g, d, (iw, iv), intrinsics, cfg, mesh=mesh,
                          live=lv)
 
-        final, (ref, T_rel, tracked, is_kf) = jax.lax.scan(
+        final, out = jax.lax.scan(
             body, state, (grays, depths, imu_delta_w, imu_valid, live))
-    return final, ScanOutput(ref_slot=ref, T_rel=T_rel, tracked=tracked,
-                             is_kf=is_kf)
+    return final, ScanOutput(*out)
 
 
 class ChunkedSlam:
@@ -338,8 +367,15 @@ class ChunkedSlam:
 def compose_trajectory(final: ScanState, out: ScanOutput) -> np.ndarray:
     """(N, 4, 4) world poses: each frame rides its reference keyframe's
     FINAL optimized pose, so later BA/loop corrections apply retroactively
-    (identical convention to models/slam.Slam.result)."""
-    kf_pose = np.asarray(final.m.kf_pose)
-    ref = np.asarray(out.ref_slot)
+    (identical convention to models/slam.Slam.result).  Reference
+    keyframes are addressed by UID: keyframes culled by compact_keyframes
+    resolve through the retired-anchor ring; on ring overflow the frame
+    falls back to its world pose at emission time."""
+    table = map_mod.resolve_kf_poses(final.m)
+    ref = np.asarray(out.ref_uid)
     rel = np.asarray(out.T_rel)
-    return np.einsum("nij,njk->nik", kf_pose[ref], rel)
+    emit = np.asarray(out.T_w_emit)
+    return np.stack([
+        table[int(u)] @ r if int(u) in table else e
+        for u, r, e in zip(ref, rel, emit)
+    ])

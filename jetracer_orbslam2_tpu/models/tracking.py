@@ -113,10 +113,15 @@ def ransac_kabsch(
     iters: int = 256,
     thresh: float = 0.05,
     min_inliers: int = 8,
+    depth_quad: float = 0.0,
 ) -> RansacResult:
     """Robust rigid fit T with dst ~= T @ src.
 
     src, dst: (K, 3); weights: (K,) float32 in {0,1} (match validity).
+    depth_quad: widens the inlier gate per correspondence to
+    thresh + depth_quad * z_dst^2 — the quadratic range-error model of
+    stereo/ToF depth (TrackingConfig.ransac_depth_quad).  0 keeps the
+    fixed metric gate (loop/reloc verification, synthetic exact depth).
     """
     k = src.shape[0]
     logits = jnp.log(jnp.maximum(weights, 1e-20))
@@ -131,14 +136,15 @@ def ransac_kabsch(
     # score all hypotheses against all correspondences
     src_t = jnp.einsum("bij,kj->bki", T_h[:, :3, :3], src) + T_h[:, None, :3, 3]
     err = jnp.linalg.norm(src_t - dst[None], axis=-1)          # (iters, K)
-    inl = (err < thresh) & (weights > 0)
+    tz = thresh + depth_quad * dst[:, 2] ** 2                  # (K,)
+    inl = (err < tz[None]) & (weights > 0)
     score = jnp.sum(inl, axis=1)
     best = jnp.argmax(score)
     # refine on the best hypothesis' inliers, then recompute inliers once more
     w1 = inl[best].astype(src.dtype)
     T1 = geo.kabsch(src, dst, w1)
     err1 = jnp.linalg.norm(geo.transform_points(T1, src[None])[0] - dst, axis=-1)
-    inl1 = (err1 < thresh) & (weights > 0)
+    inl1 = (err1 < tz) & (weights > 0)
     w2 = inl1.astype(src.dtype)
     T2 = geo.kabsch(src, dst, w2)
     n = jnp.sum(inl1).astype(jnp.int32)
@@ -226,6 +232,7 @@ def track_rgbd(
         iters=cfg.ransac_iters,
         thresh=cfg.ransac_inlier_thresh,
         min_inliers=cfg.min_inliers,
+        depth_quad=cfg.ransac_depth_quad,
     )
     ok = rr.ok & (num_matches >= cfg.min_matches)
     # motion-only reprojection polish on the consensus set: pixel

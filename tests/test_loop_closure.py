@@ -180,13 +180,147 @@ def test_multi_loop_edges_retained_and_consistent():
     assert rmse < 0.85 * rmse0, (rmse, rmse0)
 
 
-def _kinked_blackout_sequence(n=60, black=slice(30, 35), turn=0.04):
+def _aliased_map(K=64, Kf=16, seed=7):
+    """Hand-built map with PERCEPTUAL ALIASING: the query keyframe (slot
+    12) truly revisits slot 2 (identical local descriptors + 3D points),
+    but slot 5 — a different place with unrelated local structure — has an
+    even MORE similar global descriptor.  Best-1 retrieval therefore
+    shortlists only the alias, whose geometric verification fails; the
+    top-N shortlist still contains the true revisit."""
+    from jetracer_orbslam2_tpu.config import MapConfig
+    from jetracer_orbslam2_tpu.models.backend import map as map_mod
+    from jetracer_orbslam2_tpu.ops import geometry as geo
+
+    rng = np.random.RandomState(seed)
+    intr = jnp.asarray([200.0, 200.0, 120.0, 90.0], jnp.float32)
+    mcfg = MapConfig(max_keyframes=Kf, max_landmarks=256, max_obs=512)
+    m = map_mod.init_map(mcfg, num_keypoints=K)
+
+    def rdesc():
+        return rng.randint(0, 2 ** 32, size=(K, 8), dtype=np.uint64
+                           ).astype(np.uint32)
+
+    # shared scene for query + true revisit: points in front of the camera
+    pts = np.stack([
+        rng.uniform(-1.5, 1.5, K), rng.uniform(-1.0, 1.0, K),
+        rng.uniform(2.0, 5.0, K)], -1).astype(np.float32)
+    uv = np.asarray(geo.project(jnp.asarray(pts), intr))
+    true_desc = rdesc()
+
+    kf_desc = np.zeros((Kf, K, 8), np.uint32)
+    kf_xy = np.zeros((Kf, K, 2), np.float32)
+    kf_points = np.zeros((Kf, K, 3), np.float32)
+    kf_gdesc = np.zeros((Kf, 256), np.float32)
+    g_q = 0.5 + 0.2 * rng.rand(256).astype(np.float32)
+    for s in range(Kf):
+        kf_desc[s] = rdesc()
+        p = np.stack([rng.uniform(-1.5, 1.5, K), rng.uniform(-1.0, 1.0, K),
+                      rng.uniform(2.0, 5.0, K)], -1).astype(np.float32)
+        kf_points[s] = p
+        kf_xy[s] = np.asarray(geo.project(jnp.asarray(p), intr))
+        kf_gdesc[s] = 0.5 + 0.2 * rng.rand(256)
+    for s in (2, 12, 13):                       # true revisit + two queries
+        kf_desc[s] = true_desc
+        kf_points[s] = pts
+        kf_xy[s] = uv
+        kf_gdesc[s] = g_q + 0.02 * rng.randn(256)
+    kf_gdesc[5] = g_q + 0.005 * rng.randn(256)  # the alias: MOST similar
+
+    # landmarks + observations for the true revisit (world == camera frame,
+    # all poses identity) so the world-frame check has something to project
+    m = m._replace(
+        kf_valid=m.kf_valid.at[:14].set(True),
+        kf_frame_id=m.kf_frame_id.at[:14].set(jnp.arange(14) * 5),
+        kf_desc=jnp.asarray(kf_desc),
+        kf_xy=jnp.asarray(kf_xy),
+        kf_points=jnp.asarray(kf_points),
+        kf_has_point=m.kf_has_point.at[:14].set(True),
+        kf_global_desc=jnp.asarray(kf_gdesc),
+        lm_pos=m.lm_pos.at[:K].set(jnp.asarray(pts)),
+        lm_desc=m.lm_desc.at[:K].set(jnp.asarray(true_desc)),
+        lm_valid=m.lm_valid.at[:K].set(True),
+        obs_kf=m.obs_kf.at[:K].set(2),
+        obs_lm=m.obs_lm.at[:K].set(jnp.arange(K)),
+        obs_uv=m.obs_uv.at[:K].set(jnp.asarray(uv)),
+        obs_valid=m.obs_valid.at[:K].set(True),
+        num_kf=jnp.int32(14), num_lm=jnp.int32(K), num_obs=jnp.int32(K))
+    return m, intr
+
+
+def test_topn_shortlist_beats_aliased_rank1():
+    """Round-3 weak item 3: best-1 retrieval + single verification misses
+    the true revisit when an aliased look-alike outranks it.  The hardened
+    path (top-N shortlist, batched verification, best-consensus winner,
+    world-frame check, temporal consistency) closes the correct loop."""
+    m, intr = _aliased_map()
+    key = jax.random.PRNGKey(0)
+    lcfg = dataclasses.replace(
+        LoopClosureConfig(), min_kf_gap=3, min_inliers=20,
+        topn=3, min_consistency=2, world_min_inliers=10)
+
+    # best-1: retrieval picks the alias (slot 5) and verification fails
+    cand1 = loop_mod.retrieve(m, jnp.int32(12), min_sim=lcfg.min_sim,
+                              min_kf_gap=lcfg.min_kf_gap)
+    assert int(cand1.kf_idx) == 5, "fixture: alias must outrank the revisit"
+    ver1 = loop_mod.verify(m, jnp.int32(12), cand1.kf_idx, key, lcfg)
+    assert not bool(ver1.ok), "alias must fail geometric verification"
+
+    # hardened: first detection (consistency 1/2) — candidate right, no fire
+    prev_uid, consist = jnp.int32(-1_000_000), jnp.int32(0)
+    idx, T_ab, ok, prev_uid, consist = loop_mod.retrieve_and_verify(
+        m, jnp.int32(12), key, lcfg, intr, prev_uid, consist)
+    assert int(idx) == 2, "true revisit must win the verified shortlist"
+    assert not bool(ok), "consistency gate must hold fire on one detection"
+    assert int(consist) == 1
+
+    # second consecutive keyframe agrees -> the loop fires, on the truth
+    idx2, T_ab2, ok2, _, consist2 = loop_mod.retrieve_and_verify(
+        m, jnp.int32(13), jax.random.PRNGKey(1), lcfg, intr,
+        prev_uid, consist)
+    assert int(idx2) == 2 and bool(ok2) and int(consist2) == 2
+    # verified relative pose is identity (query == revisit exactly)
+    np.testing.assert_allclose(np.asarray(T_ab2), np.eye(4), atol=1e-2)
+
+
+def test_world_frame_check_rejects_stale_geometry():
+    """The world-frame gate verifies against CURRENT landmark positions:
+    if the backend has since moved the map (post-BA / post-closure), a
+    candidate whose frozen kf_points still match but whose landmarks no
+    longer project consistently is rejected."""
+    m, intr = _aliased_map()
+    lcfg = dataclasses.replace(
+        LoopClosureConfig(), min_kf_gap=3, min_inliers=20,
+        topn=3, min_consistency=1, world_min_inliers=10)
+    key = jax.random.PRNGKey(0)
+    st = (jnp.int32(-1_000_000), jnp.int32(0))
+
+    idx, _, ok, *_ = loop_mod.retrieve_and_verify(
+        m, jnp.int32(12), key, lcfg, intr, *st)
+    assert int(idx) == 2 and bool(ok)
+
+    # scatter the true revisit's landmarks (simulating a map the backend
+    # has since re-estimated into disagreement): frozen kf_points still
+    # pass RANSAC, but the world projection gate now fails
+    rng = np.random.RandomState(3)
+    moved = m._replace(lm_pos=m.lm_pos + jnp.asarray(
+        rng.uniform(1.0, 2.0, m.lm_pos.shape).astype(np.float32)))
+    idx2, _, ok2, *_ = loop_mod.retrieve_and_verify(
+        moved, jnp.int32(12), key, lcfg, intr, *st)
+    assert int(idx2) == 2 and not bool(ok2)
+
+
+def _kinked_blackout_sequence(n=60, black=slice(30, 35), turn=0.07):
     """A sequence whose heading CHANGES during a sensor blackout.
 
     A smooth constant-velocity trajectory is exactly predicted by the
     tracker's motion model, so a blackout alone loses nothing; the kink
     makes the free-run prediction genuinely wrong and only a real
-    re-localization against the map can recover the pose."""
+    re-localization against the map can recover the pose.  turn=0.07 x 5
+    blind frames = 0.35 rad (~75 px of projected offset at this FOV) —
+    far outside the 16 px association window, so the round-4 map
+    reprojection polish cannot silently re-lock the control runs either
+    (at the old 0.04 it could, which hollowed out both blackout tests'
+    with-vs-without margins)."""
     from jetracer_orbslam2_tpu.io.synthetic import (
         _PLANES, make_texture, render_frame)
     from jetracer_orbslam2_tpu.ops import geometry as geo
@@ -226,9 +360,12 @@ def test_relocalization_recovers_from_blackout():
         for i in range(n):
             slam.process_frame(gray[i], depth[i])
         out = slam.result()
-        # error over the CLEAN tail only (blackout frames are unknowable)
-        tail = slice(40, n)
-        r = ate(jnp.asarray(out.poses[tail]), gt_poses[tail])
+        # error over ALL clean frames (blackout frames are unknowable).
+        # Evaluating the tail alone is blind to the kink: a pure heading
+        # error on a straight tail is absorbed by the ATE alignment — the
+        # pre-blackout frames must pin it.
+        keep = np.r_[0:black.start, 40:n]
+        r = ate(jnp.asarray(out.poses[keep]), gt_poses[keep])
         return out, float(r.rmse)
 
     out, tail_rmse = run(cfg)

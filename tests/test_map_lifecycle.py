@@ -1,6 +1,8 @@
-"""Map lifecycle: landmark culling + observation recycling keep a long run
-mapping forever inside fixed-capacity arrays (VERDICT round-1 item 6: the
-obs table silently saturated mid-sequence)."""
+"""Map lifecycle: landmark culling + observation recycling + keyframe
+culling/slot recycling keep a long run mapping forever inside
+fixed-capacity arrays (VERDICT round-1 item 6: the obs table silently
+saturated mid-sequence; round-3 missing item 3: the keyframe table was a
+hard wall that froze mapping on long sequences)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -61,6 +63,115 @@ def test_compact_map_culls_and_remaps():
     np.testing.assert_array_equal(counts[:4], [3, 3, 2, 3])
     # freed capacity is reusable: a fresh insert allocates from num_lm up
     assert int(m2.num_lm) < int(m.num_lm)
+
+
+def _kf_toy_map():
+    """6 keyframes at x=0..5; landmarks 0/1/3 covisible from 4-5 KFs,
+    landmark 2 from only 2 -> KF1 and KF2 are fully redundant, KF3 is not
+    (half its observations see the weakly-covered landmark 2)."""
+    mcfg = MapConfig(max_keyframes=8, max_landmarks=8, max_obs=32,
+                     max_dead_keyframes=16)
+    m = map_mod.init_map(mcfg, num_keypoints=4)
+    obs = [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0),
+           (0, 1), (1, 1), (2, 1), (4, 1),
+           (3, 2), (5, 2),
+           (2, 3), (0, 3), (1, 3), (4, 3)]
+    E = len(obs)
+    kfp = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    for i in range(6):
+        kfp[i, 0, 3] = float(i)
+    return m._replace(
+        kf_valid=m.kf_valid.at[:6].set(True),
+        kf_pose=jnp.asarray(kfp),
+        kf_frame_id=m.kf_frame_id.at[:6].set(
+            jnp.asarray([0, 5, 10, 15, 20, 25])),
+        lm_valid=m.lm_valid.at[:4].set(True),
+        lm_ref_kf=m.lm_ref_kf.at[:4].set(jnp.asarray([0, 1, 2, 3])),
+        obs_kf=m.obs_kf.at[:E].set(jnp.asarray([o[0] for o in obs])),
+        obs_lm=m.obs_lm.at[:E].set(jnp.asarray([o[1] for o in obs])),
+        obs_valid=m.obs_valid.at[:E].set(True),
+        num_kf=jnp.int32(6), num_lm=jnp.int32(4), num_obs=jnp.int32(E))
+
+
+def test_compact_keyframes_culls_redundant_and_recycles():
+    m = _kf_toy_map()
+    # protect_recent=2 -> slots 4,5 protected; slot 0 protected (gauge);
+    # eligible: 1, 2, 3.  KF1/KF2 are >= 90% redundant, KF3 is 50%.
+    m2 = map_mod.compact_keyframes(
+        m, jnp.float32(0.9), jnp.int32(3), jnp.int32(2), jnp.int32(8))
+    assert int(m2.num_kf) == 4
+    # survivors keep temporal order, packed to the front
+    np.testing.assert_array_equal(
+        np.asarray(m2.kf_frame_id)[:4], [0, 15, 20, 25])
+    assert np.asarray(m2.kf_valid)[:4].all()
+    assert not np.asarray(m2.kf_valid)[4:].any()
+    # retired ring: uids 5 and 10, both anchored to the surviving KF0,
+    # with the relative pose capturing their x offsets
+    assert int(m2.num_dead) == 2
+    assert sorted(np.asarray(m2.dead_uid)[:2].tolist()) == [5, 10]
+    np.testing.assert_array_equal(np.asarray(m2.dead_anchor_uid)[:2], [0, 0])
+    table = map_mod.resolve_kf_poses(m2)
+    assert sorted(table.keys()) == [0, 5, 10, 15, 20, 25]
+    assert abs(table[10][0, 3] - 2.0) < 1e-6     # culled KF2 was at x=2
+    # observations of culled keyframes dropped; survivors' remapped
+    ok = np.asarray(m2.obs_valid)
+    kf_new = np.asarray(m2.obs_kf)[ok[: len(ok)].nonzero()[0]]
+    assert set(kf_new.tolist()) <= {0, 1, 2, 3}
+    # landmarks re-anchor to the nearest surviving earlier keyframe
+    np.testing.assert_array_equal(np.asarray(m2.lm_ref_kf)[:4], [0, 0, 0, 1])
+    # capacity pressure: force down to 3 keyframes regardless of threshold
+    m3 = map_mod.compact_keyframes(
+        m, jnp.float32(2.0), jnp.int32(3), jnp.int32(2), jnp.int32(3))
+    assert int(m3.num_kf) == 3
+    np.testing.assert_array_equal(
+        np.asarray(m3.kf_frame_id)[:3], [0, 20, 25])
+
+
+def test_multi_lap_keyframe_recycling_tracks_to_the_end():
+    """1000+ frames, ~8.6 laps, max_keyframes=64: the keyframe table
+    saturates, redundant slots recycle continuously (num_dead grows), the
+    newest keyframe tracks the frame counter to the very end, and the
+    composed trajectory (including frames whose reference keyframes were
+    culled -> retired-ring resolution) stays accurate.  This is the
+    round-3 'capacity is a hard wall' scenario (VERDICT missing item 3)
+    run through the whole-system scan."""
+    from jetracer_orbslam2_tpu.evaluation import ate
+    from jetracer_orbslam2_tpu.models import slam_scan as ss
+
+    H, W = 120, 160
+    n, lap = 1040, 120
+    seq = generate_lap_sequence(n_frames=n, shape=(H, W), lap_frames=lap)
+    cfg = SystemConfig(
+        frontend=FrontendConfig(height=H, width=W, num_levels=2,
+                                max_keypoints=256),
+        tracking=TrackingConfig(match_window=16.0),
+        map=MapConfig(max_keyframes=64, max_landmarks=2048, max_obs=4096,
+                      kf_min_gap=2, kf_max_gap=6, window_size=4,
+                      kf_protect_recent=4, max_dead_keyframes=512),
+    )
+    st = ss.init_scan_state(seq.gray[0], seq.depth[0], seq.intrinsics, cfg)
+    final, out = ss.slam_scan(st, seq.gray[1:], seq.depth[1:],
+                              seq.intrinsics, cfg)
+    num_kf = int(final.m.num_kf)
+    assert num_kf <= cfg.map.max_keyframes
+    # recycling actually happened — many generations of it
+    assert int(final.m.num_dead) > cfg.map.max_keyframes
+    # mapping never froze: the newest keyframe is from the final stretch
+    kf_frames = np.asarray(final.m.kf_frame_id)
+    assert kf_frames[num_kf - 1] > 0.97 * n
+    # tracking healthy at the end of the run
+    assert np.asarray(out.tracked)[-100:].mean() > 0.8
+    # full composed trajectory: frames anchored to culled keyframes
+    # resolve through the retired ring and stay consistent
+    poses = np.concatenate([
+        np.asarray(final.m.kf_pose)[:1], ss.compose_trajectory(final, out)])
+    r = float(ate(jnp.asarray(poses), seq.poses).rmse)
+    assert r < 0.60, f"multi-lap ATE {r:.3f} m"
+    # the retired ring was actually exercised by composition: some frames
+    # reference uids that are no longer live keyframes
+    live_uids = set(kf_frames[:num_kf].tolist())
+    ref_uids = set(np.asarray(out.ref_uid).tolist())
+    assert ref_uids - live_uids, "no frame rode a retired keyframe"
 
 
 def test_long_run_never_saturates_fixed_capacity():
