@@ -117,6 +117,12 @@ class TrackingConfig:
     # 49-61 staring at the 5 m wall; 0.01 tracked but sat on the margin,
     # flipping between CPU and TPU arithmetic).
     ransac_depth_quad: float = 0.02     # m^-1
+    # Gauss-Newton iterations of the motion-only reprojection polish
+    # against the MAP (the ORB-SLAM2 TrackLocalMap step, slam.py
+    # track_and_associate).  Runs EVERY frame; measured cost on the bench
+    # lap ~45 fps of scan throughput for 11.5 cm of lap ATE (BASELINE.md
+    # round 5).  0 disables (3D-3D Kabsch only — the round-3 behavior).
+    map_polish_iters: int = 5
     min_matches: int = 12
     min_inliers: int = 8
     max_depth: float = 8.0              # m, reject far/invalid depth
@@ -156,6 +162,12 @@ class MapConfig:
     kf_cull_min_covisible: int = 3
     kf_protect_recent: int = 8
     kf_target_fill: float = 0.75
+    # endpoints of only the newest N loop edges are protected from culling
+    # (permanent protection of every edge ever accepted would shrink the
+    # cullable set until capacity-pressure eviction stops working on long
+    # many-loop runs); an older edge whose endpoint is culled is dropped —
+    # its correction is already baked into the optimized pose chain.
+    kf_protect_loop_recent: int = 8
     max_dead_keyframes: int = 2048
     # retained loop-closure constraints (KITTI-00-class sequences close
     # many loops; every pose-graph solve re-applies ALL accepted edges)
@@ -231,7 +243,36 @@ class RelocConfig:
     #                                     geometric RANSAC does the vetting)
     ransac_inlier_thresh: float = 0.10
     ransac_depth_quad: float = 0.02     # see LoopClosureConfig
+    # cap on the depth-widened inlier gate: unlike loop closure there is
+    # no world-frame reprojection backstop on the reloc accept path, and
+    # an uncapped 0.02*z^2 grows to ~1.4 m at the 8 m depth cap — far
+    # geometry would accept near-arbitrary poses (ADVICE round-4 low #4)
+    ransac_gate_cap: float = 0.5        # m
     min_inliers: int = 15
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    """Stereo rig for the on-device scan paths (models/slam_scan with
+    SystemConfig.stereo set): the per-frame input pair is (left, right)
+    grayscale and depth comes from epipolar-gated descriptor matching +
+    subpixel SAD refinement (models/stereo.frontend_stereo).  The
+    reference is RGB-D-only; this is the EuRoC/KITTI generalization of
+    its depth association (SURVEY.md §7.1 item 3).
+
+    All fields are static (floats/tuples) so a SystemConfig carrying one
+    stays hashable and pins the compiled program.  rect/dist fields
+    support non-pre-rectified rigs via keypoint-level rectification —
+    None means the pair is already rectified (KITTI, processed EuRoC)."""
+
+    baseline: float = 0.11              # m (EuRoC ~0.11, KITTI ~0.54)
+    max_disparity: float = 128.0        # px
+    epipolar_tol: float = 2.0           # px row tolerance
+    max_hamming: int = 48               # of 256 bits, L-R match gate
+    dist_r: Optional[Tuple[float, ...]] = None      # right-cam distortion
+    rect_l: Optional[Tuple[float, ...]] = None      # (9,) row-major R_l
+    rect_r: Optional[Tuple[float, ...]] = None      # (9,) row-major R_r
+    intrinsics_r: Optional[Tuple[float, ...]] = None  # right (fx,fy,cx,cy)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -256,6 +297,9 @@ class SystemConfig:
     loop: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
     reloc: RelocConfig = dataclasses.field(default_factory=RelocConfig)
     runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+    # stereo rig: when set, the scan paths (slam_scan / ChunkedSlam) read
+    # each frame as a (left, right) pair instead of (gray, depth)
+    stereo: Optional[StereoConfig] = None
 
     def replace(self, **kw) -> "SystemConfig":
         return dataclasses.replace(self, **kw)

@@ -287,6 +287,8 @@ def compact_keyframes(
     #                         OTHER keyframes
     protect_recent: Array,  # i32: newest slots never culled (BA window)
     target_kf: Array,       # i32: force-cull down to this count if above
+    protect_loop_recent: Array | int = 8,  # i32: endpoints of only the
+    #                         newest N loop edges are protected
 ) -> MapState:
     """Redundant-keyframe culling + keyframe slot recycling.
 
@@ -322,11 +324,24 @@ def compact_keyframes(
         m.obs_valid.astype(jnp.float32), m.obs_kf, num_segments=Kf)
     kf_well = jax.ops.segment_sum(
         (m.obs_valid & well).astype(jnp.float32), m.obs_kf, num_segments=Kf)
-    red = kf_well / jnp.maximum(kf_tot, 1.0)
+    # a keyframe with ZERO live observations carries no map information —
+    # treat it as fully redundant so stale keyframes whose landmarks were
+    # all culled by compact_map remain cullable (ADVICE round-4 low #1)
+    red = jnp.where(kf_tot > 0.0, kf_well / jnp.maximum(kf_tot, 1.0), 1.0)
 
+    # protect endpoints of only the NEWEST protect_loop_recent loop edges:
+    # permanent protection of every edge ever accepted shrinks the
+    # eligible set below n_force on long many-loop runs and re-creates the
+    # capacity hard wall (ADVICE round-4 medium #2).  Ring slot r holds
+    # the edge with age (num_loop - 1 - r) mod Le; edges older than the
+    # window lose protection, and any edge whose endpoint is culled is
+    # dropped below (its correction stays baked into the pose chain).
+    Le = m.loop_valid.shape[0]
+    edge_age = jnp.mod(m.num_loop - 1 - jnp.arange(Le), Le)
+    edge_protected = m.loop_valid & (edge_age < protect_loop_recent)
     in_loop = (jnp.zeros(Kf, jnp.int32)
-               .at[m.loop_i].add(m.loop_valid.astype(jnp.int32))
-               .at[m.loop_j].add(m.loop_valid.astype(jnp.int32))) > 0
+               .at[m.loop_i].add(edge_protected.astype(jnp.int32))
+               .at[m.loop_j].add(edge_protected.astype(jnp.int32))) > 0
     protected = ((slots == 0) | (slots >= m.num_kf - protect_recent)
                  | in_loop | ~m.kf_valid)
     eligible = ~protected
@@ -337,6 +352,9 @@ def compact_keyframes(
     rank = jnp.argsort(jnp.argsort(-score))        # 0 = most redundant
     cull = cull | (eligible & (rank < n_force))
     keep = m.kf_valid & ~cull
+    # drop loop edges that lost an endpoint (unprotected old edges only)
+    loop_valid = m.loop_valid & ~(cull[m.loop_i] | cull[m.loop_j])
+    m = m._replace(loop_valid=loop_valid)
 
     order = jnp.argsort(~keep, stable=True)        # kept first, slot order
     csum = jnp.cumsum(keep.astype(jnp.int32))
@@ -363,8 +381,17 @@ def compact_keyframes(
     )
 
     # pack keyframe arrays (payloads of invalid slots are stale but every
-    # consumer masks by kf_valid)
-    obs_valid = m.obs_valid & keep[m.obs_kf]
+    # consumer masks by kf_valid).  Culled keyframes' observations drop,
+    # and the obs list is stable-packed HERE (not deferred to compact_map)
+    # so num_obs stays the exact allocation head and the sorted-prefix
+    # invariant (_verify_world) holds standalone — a bare
+    # compact_keyframes call no longer leaks obs slots or leaves valid
+    # rows beyond num_obs for insert_keyframe to clobber (ADVICE round-4
+    # medium #1).
+    obs_keep = m.obs_valid & keep[m.obs_kf]
+    obs_kf_new = jnp.where(obs_keep, before_idx[m.obs_kf], 0)
+    oorder = jnp.argsort(~obs_keep, stable=True)
+    obs_valid = obs_keep[oorder]
     return m._replace(
         kf_pose=m.kf_pose[order],
         kf_valid=keep[order],
@@ -375,8 +402,12 @@ def compact_keyframes(
         kf_has_point=m.kf_has_point[order],
         kf_global_desc=m.kf_global_desc[order],
         lm_ref_kf=jnp.where(m.lm_valid, before_idx[m.lm_ref_kf], 0),
-        obs_kf=jnp.where(obs_valid, before_idx[m.obs_kf], 0),
+        obs_kf=jnp.where(obs_valid, obs_kf_new[oorder], 0),
+        obs_lm=jnp.where(obs_valid, m.obs_lm[oorder], 0),
+        obs_uv=jnp.where(obs_valid[:, None], m.obs_uv[oorder], 0.0),
+        obs_z=jnp.where(obs_valid, m.obs_z[oorder], 0.0),
         obs_valid=obs_valid,
+        num_obs=jnp.sum(obs_keep).astype(jnp.int32),
         loop_i=jnp.where(m.loop_valid, before_idx[m.loop_i], 0),
         loop_j=jnp.where(m.loop_valid, before_idx[m.loop_j], 0),
         num_kf=jnp.sum(keep).astype(jnp.int32),

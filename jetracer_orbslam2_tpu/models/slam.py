@@ -117,11 +117,15 @@ def track_and_associate(
     # final pose minimizes reprojection of the associated landmarks onto
     # the current keypoints, not the 3D-3D Kabsch alone (round-3 weak
     # item 1: the polish ran frame-to-frame but never against the map)
-    z_meas = jnp.where(curr.has_point, curr.points[:, 2], 0.0)
-    T_cw = tracking.refine_pose_reprojection(
-        geo.pose_inverse(T_ref), pts_w, curr.xy, z_meas, w_trim, intrinsics)
-    T_wc = jnp.where(enough & res.tracked_ok,
-                     geo.pose_inverse(T_cw), res.T_wc)
+    if cfg.tracking.map_polish_iters > 0:
+        z_meas = jnp.where(curr.has_point, curr.points[:, 2], 0.0)
+        T_cw = tracking.refine_pose_reprojection(
+            geo.pose_inverse(T_ref), pts_w, curr.xy, z_meas, w_trim,
+            intrinsics, iters=cfg.tracking.map_polish_iters)
+        T_map = geo.pose_inverse(T_cw)
+    else:
+        T_map = T_ref
+    T_wc = jnp.where(enough & res.tracked_ok, T_map, res.T_wc)
     res = res._replace(T_wc=T_wc)
 
     n_pts = jnp.sum(curr.has_point).astype(jnp.float32)
@@ -306,7 +310,8 @@ class Slam:
                 self.m, jnp.float32(mc.kf_cull_redundancy),
                 jnp.int32(mc.kf_cull_min_covisible),
                 jnp.int32(mc.kf_protect_recent),
-                jnp.int32(round(mc.kf_target_fill * kf_cap)))
+                jnp.int32(round(mc.kf_target_fill * kf_cap)),
+                jnp.int32(mc.kf_protect_loop_recent))
         if (kf_full or num_obs > mc.compact_at * obs_cap
                 or num_lm > mc.compact_at * lm_cap):
             self.m = map_mod.compact_map(
@@ -347,7 +352,7 @@ class Slam:
         ver = loop_mod.verify_features(
             self.m, feats.desc, feats.has_point, feats.points, cand.kf_idx,
             key, rc.ransac_inlier_thresh, rc.min_inliers,
-            rc.ransac_depth_quad)
+            rc.ransac_depth_quad, rc.ransac_gate_cap)
         if not bool(ver.ok):
             return False
         # T_ab: keyframe-camera -> query-camera; T_w_query = T_w_kf @ T_ab^-1

@@ -114,6 +114,7 @@ def ransac_kabsch(
     thresh: float = 0.05,
     min_inliers: int = 8,
     depth_quad: float = 0.0,
+    gate_cap: float = 1e9,
 ) -> RansacResult:
     """Robust rigid fit T with dst ~= T @ src.
 
@@ -122,6 +123,9 @@ def ransac_kabsch(
     thresh + depth_quad * z_dst^2 — the quadratic range-error model of
     stereo/ToF depth (TrackingConfig.ransac_depth_quad).  0 keeps the
     fixed metric gate (loop/reloc verification, synthetic exact depth).
+    gate_cap: upper bound on the widened gate (relocalization has no
+    world-frame backstop, so its gate must not grow unbounded with z^2 —
+    RelocConfig.ransac_gate_cap).
     """
     k = src.shape[0]
     logits = jnp.log(jnp.maximum(weights, 1e-20))
@@ -136,7 +140,7 @@ def ransac_kabsch(
     # score all hypotheses against all correspondences
     src_t = jnp.einsum("bij,kj->bki", T_h[:, :3, :3], src) + T_h[:, None, :3, 3]
     err = jnp.linalg.norm(src_t - dst[None], axis=-1)          # (iters, K)
-    tz = thresh + depth_quad * dst[:, 2] ** 2                  # (K,)
+    tz = jnp.minimum(thresh + depth_quad * dst[:, 2] ** 2, gate_cap)  # (K,)
     inl = (err < tz[None]) & (weights > 0)
     score = jnp.sum(inl, axis=1)
     best = jnp.argmax(score)

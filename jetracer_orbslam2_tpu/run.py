@@ -207,7 +207,22 @@ def main(argv=None) -> int:
     import numpy as np
 
     from jetracer_orbslam2_tpu.config import FrontendConfig, SystemConfig
-    from jetracer_orbslam2_tpu.evaluation import ate
+    from jetracer_orbslam2_tpu.evaluation import ate, rpe_drift
+
+    def _accuracy(report, poses, gt, count):
+        """ATE + drift-per-meter (RPE, KITTI convention) next to each
+        other in every report: ATE alone conflates local drift with
+        loop-closure corrections."""
+        if gt is None or count < 2:
+            return
+        e = jnp.asarray(poses[:count])
+        g = jnp.asarray(gt[:count])
+        report["ate_rmse_m"] = round(float(ate(e, g).rmse), 4)
+        d = max(1, min(10, count - 1))
+        t_drift, r_drift = rpe_drift(e, g, delta=d)
+        report["rpe_drift_pct"] = round(float(t_drift) * 100.0, 3)
+        report["rpe_rot_deg_per_m"] = round(
+            float(np.degrees(r_drift)), 4)
 
     frames, n, hw, intr, baseline, gt, cal = _open_source(args)
     h, w = hw
@@ -217,22 +232,38 @@ def main(argv=None) -> int:
         if res is None:
             return 2
         report, poses = res
-        if gt is not None and n > 1:
-            r = ate(jnp.asarray(poses[:n]), jnp.asarray(gt[:n]))
-            report["ate_rmse_m"] = round(float(r.rmse), 4)
+        _accuracy(report, poses, gt, min(n, len(poses)))
         print(json.dumps(report))
         return 0
 
     if args.chunked:
+        from jetracer_orbslam2_tpu.config import StereoConfig, TrackingConfig
         from jetracer_orbslam2_tpu.models.slam_scan import ChunkedSlam
 
+        def _tup(v):
+            return None if v is None else tuple(float(x) for x in v)
+
+        is_stereo = baseline > 0.0
+        stereo_cfg = None
+        tcfg = TrackingConfig()
+        if is_stereo:
+            # stereo rig flows into the scan itself: each chunk's frames
+            # are (left, right) pairs and the stereo front-end runs
+            # on-device inside the scan step (models/slam_scan._features)
+            stereo_cfg = StereoConfig(
+                baseline=float(baseline),
+                dist_r=_tup(cal["dist_r"]), rect_l=_tup(cal["rect_l"]),
+                rect_r=_tup(cal["rect_r"]),
+                intrinsics_r=_tup(cal["intrinsics_r"]))
+            tcfg = TrackingConfig(max_depth=80.0)
         cfg = SystemConfig(frontend=FrontendConfig(
             height=h, width=w, num_levels=args.levels,
             max_keypoints=args.max_keypoints,
             dist=cal["dist"], dist_model=cal["dist_model"],
             depth_intrinsics=cal["depth_intrinsics"],
             depth_dist=cal["depth_dist"],
-            T_color_depth=cal["T_color_depth"]))
+            T_color_depth=cal["T_color_depth"]),
+            tracking=tcfg, stereo=stereo_cfg)
         mesh = None
         if args.mesh:
             from jetracer_orbslam2_tpu.parallel.mesh import virtual_mesh
@@ -241,18 +272,21 @@ def main(argv=None) -> int:
         ch = ChunkedSlam(cfg, intr, chunk_size=args.chunked, mesh=mesh)
         t0 = time.perf_counter()
         count = 0
-        for gray, depth, right, _ in frames():
-            if depth is None:
-                log.error("--chunked needs RGB-D frames; use --mode slam "
-                          "for stereo datasets")
+        for gray, depth, right, imu_pkt in frames():
+            if is_stereo:
+                ch.process_frame(gray, right, imu_packet=imu_pkt)
+            elif depth is None:
+                log.error("--chunked needs RGB-D or stereo frames")
                 return 2
-            ch.process_frame(gray, depth)
+            else:
+                ch.process_frame(gray, depth, imu_packet=imu_pkt)
             count += 1
         ch.flush()
         wall = time.perf_counter() - t0
         poses = ch.result()
         report = {
             "mode": f"slam-chunked{args.chunked}",
+            "stereo": is_stereo,
             "frames": count,
             "fps": round(count / wall, 2),
             "keyframes": int(ch.state.m.num_kf),
@@ -260,9 +294,7 @@ def main(argv=None) -> int:
             "loops": int(ch.state.num_loops),
             "relocs": int(ch.state.num_relocs),
         }
-        if gt is not None and count > 1:
-            r = ate(jnp.asarray(poses[:count]), jnp.asarray(gt[:count]))
-            report["ate_rmse_m"] = round(float(r.rmse), 4)
+        _accuracy(report, poses, gt, count)
         print(json.dumps(report))
         return 0
 
@@ -376,9 +408,7 @@ def main(argv=None) -> int:
         report["telemetry_sent"] = server.sent_frames
         report["telemetry_dropped"] = server.dropped_frames
         server.close()
-    if gt is not None and count > 1:
-        r = ate(jnp.asarray(out.poses[:count]), jnp.asarray(gt[:count]))
-        report["ate_rmse_m"] = round(float(r.rmse), 4)
+    _accuracy(report, out.poses, gt, count)
     if args.checkpoint:
         from jetracer_orbslam2_tpu.runtime.checkpoint import save_checkpoint
 

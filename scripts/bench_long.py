@@ -43,7 +43,7 @@ def main() -> None:
 
     from jetracer_orbslam2_tpu.config import (
         FrontendConfig, MapConfig, SystemConfig, TrackingConfig)
-    from jetracer_orbslam2_tpu.evaluation import ate
+    from jetracer_orbslam2_tpu.evaluation import ate, rpe_drift
     from jetracer_orbslam2_tpu.io.synthetic import generate_lap_sequence
     from jetracer_orbslam2_tpu.models import slam_scan as ss
 
@@ -78,6 +78,7 @@ def main() -> None:
     poses = np.concatenate([
         np.asarray(final.m.kf_pose)[:1], ss.compose_trajectory(final, out)])
     r = ate(jnp.asarray(poses), seq.poses)
+    t_drift, r_drift = rpe_drift(jnp.asarray(poses), seq.poses, delta=10)
     tracked = np.asarray(out.tracked)
     print(json.dumps({
         "metric": "slam_long_fps_640x480",
@@ -85,6 +86,8 @@ def main() -> None:
         "value": round(best, 1),
         "unit": "frames/s",
         "ate_cm": round(float(r.rmse) * 100.0, 1),
+        "rpe_drift_pct": round(float(t_drift) * 100.0, 2),
+        "rpe_rot_deg_per_m": round(float(np.degrees(r_drift)), 3),
         "loops": int(final.num_loops),
         "relocs": int(final.num_relocs),
         "keyframes": int(final.m.num_kf),

@@ -76,6 +76,11 @@ def _kf_toy_map():
            (0, 1), (1, 1), (2, 1), (4, 1),
            (3, 2), (5, 2),
            (2, 3), (0, 3), (1, 3), (4, 3)]
+    # production insert order groups observations by keyframe (each
+    # insert_keyframe appends a contiguous run of the newest slot) — sort
+    # the toy list the same way so the sorted-prefix invariant
+    # (_check_obs_prefix / loop._verify_world) holds on the fixture too
+    obs = sorted(obs, key=lambda o: o[0])
     E = len(obs)
     kfp = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
     for i in range(6):
@@ -125,6 +130,100 @@ def test_compact_keyframes_culls_redundant_and_recycles():
     assert int(m3.num_kf) == 3
     np.testing.assert_array_equal(
         np.asarray(m3.kf_frame_id)[:3], [0, 20, 25])
+
+
+def _check_obs_prefix(m):
+    """Valid observations form a contiguous prefix [0, num_obs) sorted by
+    keyframe slot — the invariant _verify_world's contiguous-run gather
+    rides on (models/backend/loop.py)."""
+    ok = np.asarray(m.obs_valid)
+    no = int(m.num_obs)
+    assert ok[:no].all(), "hole inside the valid obs prefix"
+    assert not ok[no:].any(), "valid obs beyond num_obs"
+    kf = np.asarray(m.obs_kf)[:no]
+    assert (np.diff(kf) >= 0).all(), "obs_kf prefix not sorted"
+
+
+def test_obs_kf_sorted_prefix_invariant():
+    """Both compactions preserve the sorted contiguous obs prefix; a
+    STANDALONE compact_keyframes call packs obs itself and keeps num_obs
+    exact (ADVICE round-4 medium #1 — it used to leave holes and a stale
+    num_obs, relying on an immediate compact_map)."""
+    m = _kf_toy_map()
+    _check_obs_prefix(m)
+    m2 = map_mod.compact_keyframes(
+        m, jnp.float32(0.9), jnp.int32(3), jnp.int32(2), jnp.int32(8))
+    _check_obs_prefix(m2)                 # standalone: no compact_map after
+    assert int(m2.num_obs) == int(np.asarray(m2.obs_valid).sum())
+    m3 = map_mod.compact_map(m2, jnp.float32(1.0), jnp.int32(0))
+    _check_obs_prefix(m3)
+    # and through a real run: inserts + both compactions interleaved
+    H, W = 120, 160
+    n, lap = 140, 60
+    seq = generate_lap_sequence(n_frames=n, shape=(H, W), lap_frames=lap)
+    cfg = SystemConfig(
+        frontend=FrontendConfig(height=H, width=W, num_levels=2,
+                                max_keypoints=256),
+        tracking=TrackingConfig(match_window=16.0),
+        map=MapConfig(max_keyframes=16, max_landmarks=1024, max_obs=2048,
+                      kf_min_gap=2, kf_max_gap=6, window_size=4,
+                      kf_protect_recent=4, max_dead_keyframes=64),
+    )
+    slam = Slam(cfg, seq.intrinsics)
+    for i in range(n):
+        slam.process_frame(seq.gray[i], seq.depth[i])
+        if i % 10 == 0:
+            _check_obs_prefix(slam.m)
+    _check_obs_prefix(slam.m)
+    assert slam.num_compactions >= 1, "compaction never exercised"
+
+
+def test_loop_edge_protection_is_windowed():
+    """Only the newest kf_protect_loop_recent loop edges protect their
+    endpoints; an older edge's endpoint is cullable and the edge is then
+    dropped (ADVICE round-4 medium #2 — permanent protection re-created
+    the capacity hard wall on long many-loop runs)."""
+    m = _kf_toy_map()
+    # loop edge between the two fully-redundant keyframes 1 and 2
+    m = m._replace(
+        loop_i=m.loop_i.at[0].set(1), loop_j=m.loop_j.at[0].set(2),
+        loop_valid=m.loop_valid.at[0].set(True), num_loop=jnp.int32(1))
+    # edge inside the protection window: endpoints survive the cull
+    m_prot = map_mod.compact_keyframes(
+        m, jnp.float32(0.9), jnp.int32(3), jnp.int32(2), jnp.int32(8),
+        jnp.int32(8))
+    assert int(m_prot.num_kf) == 6        # nothing cullable
+    assert bool(m_prot.loop_valid[0])
+    # protection window 0: the redundant endpoints are culled and the
+    # orphaned edge is dropped (its correction stays baked into poses)
+    m_cull = map_mod.compact_keyframes(
+        m, jnp.float32(0.9), jnp.int32(3), jnp.int32(2), jnp.int32(8),
+        jnp.int32(0))
+    assert int(m_cull.num_kf) == 4
+    assert not bool(m_cull.loop_valid[0])
+    _check_obs_prefix(m_cull)
+
+
+def test_zero_obs_keyframe_is_cullable():
+    """A keyframe whose observations were all culled (kf_tot == 0) must
+    look fully redundant, not maximally informative (ADVICE round-4
+    low #3)."""
+    m = _kf_toy_map()
+    # strip keyframe 3's observations (slots 11-14 in the toy layout)
+    ok = np.asarray(m.obs_valid).copy()
+    kfs = np.asarray(m.obs_kf)
+    ok[(kfs == 3) & ok] = False
+    m = m._replace(obs_valid=jnp.asarray(ok),
+                   num_obs=jnp.int32(int(ok.sum())))
+    # NOTE: stripping mid-prefix rows violates the packed-prefix invariant,
+    # so repack first through compact_map (min_obs=0 culls nothing)
+    m = map_mod.compact_map(m, jnp.float32(0.0), jnp.int32(0))
+    m2 = map_mod.compact_keyframes(
+        m, jnp.float32(0.9), jnp.int32(3), jnp.int32(2), jnp.int32(8))
+    # keyframes 1, 2 (redundant) AND 3 (zero obs) are culled
+    assert int(m2.num_kf) == 3
+    np.testing.assert_array_equal(
+        np.asarray(m2.kf_frame_id)[:3], [0, 20, 25])
 
 
 def test_multi_lap_keyframe_recycling_tracks_to_the_end():

@@ -127,3 +127,37 @@ def test_rpe_zero_for_identical():
     poses = synthetic.smooth_trajectory(15)
     t_err, r_err = evaluation.rpe(poses, poses)
     assert float(t_err) < 1e-5 and float(r_err) < 1e-3
+
+def test_rpe_drift_measures_known_scale_error():
+    """An estimate that travels 1% farther per step than ground truth has
+    a translational drift rate of exactly 1% — rpe_drift recovers it, and
+    rotation drift stays ~0 (the KITTI drift-per-meter convention)."""
+    gt = np.tile(np.eye(4, dtype=np.float32), (30, 1, 1))
+    est = gt.copy()
+    step = 0.10
+    for i in range(30):
+        gt[i, 0, 3] = step * i
+        est[i, 0, 3] = step * i * 1.01
+    t_drift, r_drift = evaluation.rpe_drift(
+        jnp.asarray(est), jnp.asarray(gt), delta=5)
+    assert abs(float(t_drift) - 0.01) < 1e-4, float(t_drift)
+    assert float(r_drift) < 1e-4
+
+
+def test_rpe_drift_measures_known_rotation_drift():
+    """A constant 0.01 rad heading error per meter traveled shows up as
+    r_drift ~= 0.01 rad/m."""
+    n, step = 40, 0.05
+    gt = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    est = gt.copy()
+    for i in range(n):
+        gt[i, 0, 3] = step * i
+        est[i, 0, 3] = step * i
+        th = 0.01 * step * i                  # rad, grows with distance
+        est[i, :3, :3] = np.asarray(
+            [[np.cos(th), -np.sin(th), 0],
+             [np.sin(th), np.cos(th), 0],
+             [0, 0, 1]], np.float32)
+    t_drift, r_drift = evaluation.rpe_drift(
+        jnp.asarray(est), jnp.asarray(gt), delta=8)
+    assert abs(float(r_drift) - 0.01) < 1e-3, float(r_drift)
