@@ -106,3 +106,21 @@ def rpe_drift(est_poses: Array, gt_poses: Array, delta: int = 10):
     seg = jnp.linalg.norm(rel_gt[:, :3, 3], axis=-1)
     total = jnp.maximum(jnp.sum(seg), 1e-9)
     return jnp.sum(trans) / total, jnp.sum(rot) / total
+
+
+def rpe_drift_median(est_poses: Array, gt_poses: Array, delta: int = 10):
+    """Median per-segment drift ratio — robust to the tail of segments
+    that cross tracking dropouts (motion-model freerun then re-lock),
+    which dominate the length-weighted mean of `rpe_drift` whenever
+    tracked_frac < 1.  Report both: mean = includes every failure,
+    median = the typical drift while tracking."""
+    def rel(T):
+        return geo.pose_inverse(T[:-delta]) @ T[delta:]
+
+    rel_gt = rel(gt_poses)
+    e = geo.pose_inverse(rel_gt) @ rel(est_poses)
+    trans = jnp.linalg.norm(e[:, :3, 3], axis=-1)
+    cos_a = jnp.clip((jnp.trace(e[:, :3, :3], axis1=1, axis2=2) - 1) / 2, -1, 1)
+    rot = jnp.arccos(cos_a)
+    seg = jnp.maximum(jnp.linalg.norm(rel_gt[:, :3, 3], axis=-1), 1e-9)
+    return jnp.median(trans / seg), jnp.median(rot / seg)

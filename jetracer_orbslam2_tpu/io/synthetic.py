@@ -182,7 +182,19 @@ def generate_lap_sequence(
     textures = jnp.stack([make_texture(k) for k in keys])
     poses = lap_trajectory(n_frames, radius=radius, lap_frames=lap_frames)
     render = jax.vmap(lambda T: render_frame(T, intr, textures, shape))
-    gray, depth = render(poses)
+    # render in bounded chunks: one vmap over the whole sequence allocates
+    # several (N, H, W) f32 temps — at 1,200 frames of 640x480 that is
+    # multiple 1.37 GB buffers and the device OOMs before the benchmark
+    # even starts (scripts/bench_long.py).  Chunking caps the temp
+    # footprint; results are identical (pure per-frame function).
+    chunk = 128
+    if n_frames <= chunk:
+        gray, depth = render(poses)
+    else:
+        parts = [render(poses[i:i + chunk])
+                 for i in range(0, n_frames, chunk)]
+        gray = jnp.concatenate([p[0] for p in parts])
+        depth = jnp.concatenate([p[1] for p in parts])
     return SyntheticSequence(gray=gray, depth=depth, poses=poses, intrinsics=intr)
 
 

@@ -313,10 +313,59 @@ def _solve_schur(Hpp, Hll, G, bp, bl, lam, free, lm_free, psum):
     return dxp, dxl
 
 
+def _lm_step_fused(poses_cw, points, obs, lm_free, free, intrinsics,
+                   huber, lam, interpret):
+    """One LM linear solve via the fused Pallas kernels (ops/pallas_ba):
+    Jacobians never touch HBM — assembly, Hll inversion, and the Schur
+    contractions stream landmark tiles through VMEM; only Hll^-1 (9, L)
+    and bl (3, L) round-trip for the back-substitution.  Math identical
+    to dense_normal_equations + _solve_schur (un-sharded path)."""
+    from jetracer_orbslam2_tpu.ops import pallas_ba
+
+    P = poses_cw.shape[0]
+    L = points.shape[-1]
+    poses_flat = jnp.concatenate(
+        [poses_cw[:, :3, :3].reshape(P, 9), poses_cw[:, :3, 3]], -1)
+    obs5 = jnp.stack([obs.uv[0], obs.uv[1], obs.z,
+                      obs.z_valid.astype(jnp.float32), obs.w])
+    scalars = jnp.concatenate([
+        intrinsics.reshape(-1)[:4], lam[None],
+        jnp.float32(huber)[None], jnp.zeros(2, jnp.float32)])[None]
+    A_il, S_il, bp, rhs_gh, hll_inv, bl = pallas_ba.fused_normal_schur(
+        poses_flat, points, obs5, lm_free[None], scalars,
+        interpret=interpret)
+
+    # un-interleave the il layout (row = i*8 + p)
+    A4 = A_il.reshape(6, P, 6, P)
+    pidx = jnp.arange(P)
+    Hpp = A4[:, pidx, :, pidx]                           # (P, 6, 6)
+    eye6 = jnp.eye(6, dtype=Hpp.dtype)
+    Hpp_d = Hpp + (lam * jnp.maximum(
+        jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)), 1e-6 * eye6))
+    S = -S_il.reshape(6, P, 6, P).transpose(1, 0, 3, 2).reshape(
+        P * 6, P * 6)
+    S = S.reshape(P, 6, P, 6)
+    S = S.at[pidx, :, pidx, :].add(Hpp_d)
+    S = S.reshape(P * 6, P * 6)
+    rhs = (bp - rhs_gh).reshape(-1)
+
+    free6 = jnp.repeat(free.astype(S.dtype), 6)
+    S = S * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
+    rhs = rhs * free6
+    c, low = jax.scipy.linalg.cho_factor(S)
+    dxp = jax.scipy.linalg.cho_solve((c, low), rhs).reshape(P, 6)
+
+    dxl = pallas_ba.fused_backsub(
+        poses_flat, points, obs5, lm_free[None], scalars, hll_inv, bl,
+        dxp, interpret=interpret)
+    return dxp, dxl
+
+
 def lm_run_dense(
     poses_cw: Array, points: Array, obs: DenseObs, fixed: Array,
     lm_valid: Array, intrinsics: Array, cfg: BAConfig,
     axis: Optional[str] = None,
+    fused: Optional[bool] = None,
 ) -> tuple[Array, Array, Array]:
     """The full LM schedule on the dense grid: `cfg.iters` iterations as a
     lax.scan (one compiled graph, no host sync inside); rejected steps
@@ -324,17 +373,44 @@ def lm_run_dense(
 
     points is (L, 3) at entry/exit (the public convention); internally the
     solver runs landmark-last.  axis: shard_map axis name to psum
-    pose-sized reductions over (None = unsharded / replicated).  Returns
-    (poses_cw, points, cost trace of length iters+1, initial cost first).
+    pose-sized reductions over (None = unsharded / replicated).
+    fused: route the per-iteration linear solve through the fused Pallas
+    kernels (ops/pallas_ba) — default auto: on for un-sharded P=8 problems
+    on a TPU backend ("interpret" forces the interpreter for CPU tests).
+    Returns (poses_cw, points, cost trace, initial cost first).
     """
+    from jetracer_orbslam2_tpu.ops import pallas_ba
+
     psum = (lambda x: x) if axis is None else (
         lambda x: jax.lax.psum(x, axis))
+    interpret = fused == "interpret"
+    if fused is None:
+        fused = axis is None and pallas_ba.use_pallas_ba(poses_cw.shape[0])
+    elif fused and axis is not None:
+        raise ValueError("fused BA path does not support sharding axes")
     w_valid = obs.w                                      # (P, L)
     lm_nobs = jnp.sum(w_valid, axis=0)
     lm_free = ((lm_nobs >= 2.0) & lm_valid).astype(jnp.float32)  # (L,)
     free = ~fixed
     huber = cfg.huber_delta
     points = points.T                                    # (3, L)
+
+    L = points.shape[-1]
+    pad = 0
+    if fused:
+        # pad the landmark axis to the kernel tile (padded slots carry
+        # zero weight and lm_free=0 — inert by construction)
+        tile = min(pallas_ba.LANE_TILE, max(L, 128))
+        pad = (-L) % tile
+        if pad:
+            points = jnp.pad(points, ((0, 0), (0, pad)))
+            lm_free = jnp.pad(lm_free, (0, pad))
+            obs = DenseObs(
+                uv=jnp.pad(obs.uv, ((0, 0), (0, 0), (0, pad))),
+                z=jnp.pad(obs.z, ((0, 0), (0, pad))),
+                z_valid=jnp.pad(obs.z_valid, ((0, 0), (0, pad))),
+                w=jnp.pad(obs.w, ((0, 0), (0, pad))))
+            w_valid = obs.w
 
     def cost_only(poses_cw, points):
         r, _, _, z = _dense_residuals_and_jacobians(
@@ -343,12 +419,17 @@ def lm_run_dense(
 
     def lm_step(carry, _):
         poses_cw, points, lam, cost0 = carry
-        Hpp_p, Hll, G, bp_p, bl, _ = dense_normal_equations(
-            poses_cw, points, obs, w_valid, intrinsics, huber)
-        Hpp = psum(Hpp_p)
-        bp = psum(bp_p)
-        dxp, dxl = _solve_schur(Hpp, Hll, G, bp, bl, lam, free, lm_free,
-                                psum)
+        if fused:
+            dxp, dxl = _lm_step_fused(
+                poses_cw, points, obs, lm_free, free, intrinsics, huber,
+                lam, interpret)
+        else:
+            Hpp_p, Hll, G, bp_p, bl, _ = dense_normal_equations(
+                poses_cw, points, obs, w_valid, intrinsics, huber)
+            Hpp = psum(Hpp_p)
+            bp = psum(bp_p)
+            dxp, dxl = _solve_schur(Hpp, Hll, G, bp, bl, lam, free,
+                                    lm_free, psum)
         new_poses = jax.vmap(lambda T, xi: geo.se3_exp(xi) @ T)(
             poses_cw, dxp)
         new_points = points + dxl * lm_free
@@ -365,15 +446,25 @@ def lm_run_dense(
     (poses_cw, points, _, _), trace = jax.lax.scan(
         lm_step, (poses_cw, points, jnp.float32(cfg.damping_init),
                   cost_init), None, length=cfg.iters)
+    if pad:
+        points = points[:, :L]
     return poses_cw, points.T, jnp.concatenate([cost_init[None], trace])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "fused"))
 @f32_estimation
 def bundle_adjust(
     prob: BAProblem, intrinsics: Array, cfg: BAConfig,
+    fused: Optional[bool] = None,
 ) -> tuple[Array, Array, BAStats]:
-    """Run `cfg.iters` LM iterations.  Returns (poses T_wc, points, stats)."""
+    """Run `cfg.iters` LM iterations.  Returns (poses T_wc, points, stats).
+
+    fused: see lm_run_dense.  Default auto engages the fused Pallas path
+    for standalone P=8 solves on TPU (1.7-3.8x device speedup,
+    scripts/bench_ba_fused.py); callers embedding BA inside a larger
+    compiled program (the in-scan windowed BA) pass False — measured
+    there, the opaque pallas_calls serialize against the surrounding scan
+    and cost ~65 fps (BASELINE.md round 5)."""
     P = prob.poses.shape[0]
     L = prob.points.shape[0]
     obs, _ = edges_to_dense(
@@ -382,7 +473,8 @@ def bundle_adjust(
     poses_cw = jax.vmap(geo.pose_inverse)(prob.poses)
     lm_valid = jnp.ones(L, bool)
     poses_cw, points, trace = lm_run_dense(
-        poses_cw, prob.points, obs, prob.fixed, lm_valid, intrinsics, cfg)
+        poses_cw, prob.points, obs, prob.fixed, lm_valid, intrinsics, cfg,
+        fused=fused)
     poses_wc = jax.vmap(geo.pose_inverse)(poses_cw)
     stats = BAStats(
         cost=trace,

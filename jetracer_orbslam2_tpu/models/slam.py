@@ -195,7 +195,13 @@ def local_ba(
         obs_valid=in_win,
         fixed=fixed,
     )
-    new_poses, new_points, stats = bundle_adjust(prob, intrinsics, cfg.ba)
+    # fused=False: inside the per-keyframe/in-scan program the Pallas BA
+    # kernels serialize against the surrounding graph and cost ~65 fps of
+    # scan throughput (measured, BASELINE.md round 5); the XLA path fuses
+    # with its neighbors.  The fused kernels win for STANDALONE solves
+    # (ba.bundle_adjust default auto).
+    new_poses, new_points, stats = bundle_adjust(
+        prob, intrinsics, cfg.ba, fused=False)
     kf_pose = m.kf_pose.at[window].set(new_poses)
     lm_pos = jnp.where(m.lm_valid[:, None], new_points, m.lm_pos)
     return m._replace(kf_pose=kf_pose, lm_pos=lm_pos)

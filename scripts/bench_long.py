@@ -43,7 +43,8 @@ def main() -> None:
 
     from jetracer_orbslam2_tpu.config import (
         FrontendConfig, MapConfig, SystemConfig, TrackingConfig)
-    from jetracer_orbslam2_tpu.evaluation import ate, rpe_drift
+    from jetracer_orbslam2_tpu.evaluation import (
+        ate, rpe_drift, rpe_drift_median)
     from jetracer_orbslam2_tpu.io.synthetic import generate_lap_sequence
     from jetracer_orbslam2_tpu.models import slam_scan as ss
 
@@ -79,6 +80,7 @@ def main() -> None:
         np.asarray(final.m.kf_pose)[:1], ss.compose_trajectory(final, out)])
     r = ate(jnp.asarray(poses), seq.poses)
     t_drift, r_drift = rpe_drift(jnp.asarray(poses), seq.poses, delta=10)
+    t_med, r_med = rpe_drift_median(jnp.asarray(poses), seq.poses, delta=10)
     tracked = np.asarray(out.tracked)
     print(json.dumps({
         "metric": "slam_long_fps_640x480",
@@ -88,6 +90,8 @@ def main() -> None:
         "ate_cm": round(float(r.rmse) * 100.0, 1),
         "rpe_drift_pct": round(float(t_drift) * 100.0, 2),
         "rpe_rot_deg_per_m": round(float(np.degrees(r_drift)), 3),
+        "rpe_drift_median_pct": round(float(t_med) * 100.0, 2),
+        "rpe_rot_median_deg_per_m": round(float(np.degrees(r_med)), 3),
         "loops": int(final.num_loops),
         "relocs": int(final.num_relocs),
         "keyframes": int(final.m.num_kf),

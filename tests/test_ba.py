@@ -141,3 +141,31 @@ def test_ba_invalid_obs_ignored():
         obs_uv=jnp.asarray(uv), obs_valid=jnp.asarray(~bad))
     poses, points, stats = bundle_adjust(prob, INTR, BAConfig(iters=15))
     assert float(stats.cost[-1]) < 1e-4
+
+def test_fused_pallas_ba_matches_xla_solver():
+    """The fused Pallas normal-equations/Schur kernels (ops/pallas_ba,
+    interpreter mode on CPU) reproduce the XLA dense solver: same cost
+    trace, same poses, same points.  On TPU the same kernels run compiled
+    (gated by use_pallas_ba); scripts/bench_ba_fused.py measures them."""
+    from jetracer_orbslam2_tpu.models.backend import ba as ba_core
+
+    rng = np.random.RandomState(11)
+    # P must be 8 (the kernel's sublane layout); L exercises tile padding
+    prob, _, _ = make_problem(rng, P=8, L=300)
+    cfg = BAConfig(iters=5)
+    P, L = prob.poses.shape[0], prob.points.shape[0]
+    obs, _ = ba_core.edges_to_dense(
+        P, L, prob.obs_kf, prob.obs_lm, prob.obs_uv, prob.obs_z,
+        prob.obs_z_valid, prob.obs_valid)
+    poses_cw = jax.vmap(geo.pose_inverse)(prob.poses)
+    lm_valid = jnp.ones(L, bool)
+
+    p1, x1, t1 = ba_core.lm_run_dense(
+        poses_cw, prob.points, obs, prob.fixed, lm_valid,
+        INTR, cfg, fused=False)
+    p2, x2, t2 = ba_core.lm_run_dense(
+        poses_cw, prob.points, obs, prob.fixed, lm_valid,
+        INTR, cfg, fused="interpret")
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=5e-3)
+    assert float(jnp.max(jnp.abs(p1 - p2))) < 5e-3
+    assert float(jnp.max(jnp.abs(x1 - x2))) < 2e-2
