@@ -341,6 +341,8 @@ class ChunkedSlam:
         self._pending_iv: list = []      # per-frame IMU validity
         self._imu_mod = imu_mod
         self.imu_state = imu_mod.init_state()
+        self._iw0 = None          # cached all-zero IMU stack (visual-only)
+        self._iv0 = None
 
     def process_frame(self, gray, depth, imu_packet=None
                       ) -> Optional[ScanOutput]:
@@ -376,7 +378,12 @@ class ChunkedSlam:
         self._pending_g.append(gray)
         self._pending_d.append(depth)
         if delta_w is None:
-            self._pending_iw.append(jnp.zeros(3, jnp.float32))
+            # HOST-side zero, not jnp.zeros: a per-frame device-array
+            # creation is one tiny dispatch each on a tunneled link —
+            # measured 125 -> 56 fps on the chunked bench when these were
+            # device arrays.  The whole IMU stack transfers once per
+            # chunk in flush().
+            self._pending_iw.append(None)
             self._pending_iv.append(False)
         else:
             self._pending_iw.append(delta_w)
@@ -398,9 +405,19 @@ class ChunkedSlam:
         pad = self.chunk - n
         g = jnp.stack(self._pending_g + [self._pending_g[-1]] * pad)
         d = jnp.stack(self._pending_d + [self._pending_d[-1]] * pad)
-        iw = jnp.stack(self._pending_iw
-                       + [jnp.zeros(3, jnp.float32)] * pad)
-        iv = jnp.asarray(self._pending_iv + [False] * pad)
+        if any(a is not None for a in self._pending_iw):
+            zero3 = jnp.zeros(3, jnp.float32)
+            iw = jnp.stack(
+                [zero3 if a is None else a for a in self._pending_iw]
+                + [zero3] * pad)
+            iv = jnp.asarray(np.asarray(self._pending_iv + [False] * pad))
+        else:
+            # pure-visual chunk: every per-chunk device-array creation is
+            # a dispatch on the tunnel — cache the all-zero constants once
+            if self._iw0 is None:
+                self._iw0 = jnp.zeros((self.chunk, 3), jnp.float32)
+                self._iv0 = jnp.zeros(self.chunk, bool)
+            iw, iv = self._iw0, self._iv0
         self._pending_g.clear()
         self._pending_d.clear()
         self._pending_iw.clear()
