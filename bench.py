@@ -23,7 +23,8 @@ def main() -> None:
     from jetracer_orbslam2_tpu.config import FrontendConfig, TrackingConfig
     from jetracer_orbslam2_tpu.io.synthetic import generate_sequence
     from jetracer_orbslam2_tpu.models.odometry import init_state, odometry_scan
-    from jetracer_orbslam2_tpu.evaluation import ate, rpe_drift
+    from jetracer_orbslam2_tpu.evaluation import (
+        ate, rpe_drift, rpe_drift_median)
 
     H, W = 480, 640
     N = 120
@@ -171,9 +172,13 @@ def main() -> None:
         sys.exit(1)
 
     # drift rate (RPE per meter, KITTI convention) for the scan lap —
-    # quantifies local drift independent of the loop-closure correction
+    # quantifies local drift independent of the loop-closure correction.
+    # delta chosen so segments are ~1 m of travel (the lap moves ~6.9 cm
+    # per frame): shorter segments measure per-frame jitter, not drift.
     scan_drift, scan_rot_drift = rpe_drift(
-        jnp.asarray(scan_poses), lap.poses, delta=10)
+        jnp.asarray(scan_poses), lap.poses, delta=15)
+    scan_drift_med, _ = rpe_drift_median(
+        jnp.asarray(scan_poses), lap.poses, delta=15)
     scan_drift_pct = float(scan_drift) * 100.0
     scan_rot_deg_m = float(np.degrees(scan_rot_drift))
 
@@ -181,48 +186,65 @@ def main() -> None:
     # >= real-time fps/chip) as one on-device scan — depth from in-scan
     # epipolar matching + subpixel SAD (VERDICT round-4 missing #1: this
     # config had never been measured; stereo previously ran only through
-    # the per-frame-sync host loop at ~24 fps on the tunnel).
+    # the per-frame-sync host loop at ~24 fps on the tunnel).  Two
+    # workloads through ONE compiled program (identical cfg + frame
+    # count): an open ARC (clean odometric accuracy) and a LAP (revisits,
+    # the close-texture-poor-wall segments that starve single-threshold
+    # FAST — the adaptive two-threshold detector keeps tracking there).
     from jetracer_orbslam2_tpu.config import StereoConfig
-    from jetracer_orbslam2_tpu.io.synthetic import generate_stereo_sequence
+    from jetracer_orbslam2_tpu.io.synthetic import (
+        generate_stereo_lap_sequence, generate_stereo_sequence)
 
     sn = 120
     sseq = generate_stereo_sequence(n_frames=sn, shape=(H, W))
+    lseq = generate_stereo_lap_sequence(n_frames=sn, shape=(H, W),
+                                        lap_frames=105)
     st_cfg = SystemConfig(
-        frontend=FrontendConfig(height=H, width=W),
+        frontend=FrontendConfig(height=H, width=W, fast_min_threshold=7.0),
         tracking=TrackingConfig(max_depth=80.0),
         stereo=StereoConfig(baseline=float(sseq.baseline)))
-    s_left = jax.device_put(sseq.left)
-    s_right = jax.device_put(sseq.right)
 
-    def stereo_run():
-        st = ss.init_scan_state(s_left[0], s_right[0], sseq.intrinsics,
-                                st_cfg)
+    def stereo_run(seq):
+        left = jax.device_put(seq.left)
+        right = jax.device_put(seq.right)
+        st = ss.init_scan_state(left[0], right[0], seq.intrinsics, st_cfg)
         t0 = time.perf_counter()
-        final, out = ss.slam_scan(st, s_left[1:], s_right[1:],
-                                  sseq.intrinsics, st_cfg)
+        final, out = ss.slam_scan(st, left[1:], right[1:],
+                                  seq.intrinsics, st_cfg)
         np.asarray(out.T_rel)                 # fetch = completion
         return sn / (time.perf_counter() - t0), final, out
 
-    stereo_run()                              # compile
-    stereo_fps = 0.0
-    for _ in range(3):
-        f, s_final, s_out = stereo_run()
-        stereo_fps = max(stereo_fps, f)
-    s_poses = np.concatenate([
-        np.asarray(s_final.m.kf_pose)[:1],
-        ss.compose_trajectory(s_final, s_out)])
-    stereo_ate_cm = float(ate(
-        jnp.asarray(s_poses), sseq.poses).rmse) * 100.0
-    s_drift, _s_rot = rpe_drift(jnp.asarray(s_poses), sseq.poses, delta=10)
-    # gate: measured 17.1 cm on this 120-frame arc + margin (no loop
-    # closure on an open arc — this is odometric stereo accuracy)
-    if not np.isfinite(stereo_ate_cm) or stereo_ate_cm > 22.0:
+    def stereo_eval(seq, reps):
+        best = 0.0
+        for _ in range(reps):
+            f, final, out = stereo_run(seq)
+            best = max(best, f)
+        poses = np.concatenate([
+            np.asarray(final.m.kf_pose)[:1],
+            ss.compose_trajectory(final, out)])
+        a = float(ate(jnp.asarray(poses), seq.poses).rmse) * 100.0
+        trk = float(np.asarray(out.tracked).mean())
+        return best, a, trk, poses, final
+
+    stereo_run(sseq)                          # compile (shared program)
+    stereo_fps, stereo_ate_cm, s_trk, s_poses, _ = stereo_eval(sseq, 3)
+    lap_fps, lap_ate_cm, lap_trk, _, lap_final = stereo_eval(lseq, 2)
+    # ~1 m segments (the stereo arc moves ~2 cm per frame)
+    s_drift, _s_rot = rpe_drift(jnp.asarray(s_poses), sseq.poses, delta=50)
+    # gates: measured 11.5 cm (arc) / 15.4 cm (lap, tracked 1.00, loop
+    # fires) + ~30% margin.  The lap revisits texture-poor near-wall
+    # views — the adaptive detector is what keeps it tracking (43.7 cm /
+    # tracked 0.76 single-threshold, BASELINE.md round 5).
+    if (not np.isfinite(stereo_ate_cm) or stereo_ate_cm > 15.0
+            or not np.isfinite(lap_ate_cm) or lap_ate_cm > 21.0
+            or lap_trk < 0.95):
         print(json.dumps({
             "metric": "tracking_fps_640x480",
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,
-            "error": f"stereo scan diverged: ATE {stereo_ate_cm:.1f} cm",
+            "error": (f"stereo diverged: arc ATE {stereo_ate_cm:.1f} cm, "
+                      f"lap ATE {lap_ate_cm:.1f} cm tracked {lap_trk:.2f}"),
         }))
         sys.exit(1)
 
@@ -242,11 +264,16 @@ def main() -> None:
         "slam_scan_loops": int(scan_final.num_loops),
         "slam_scan_ate_cm": round(scan_ate_cm, 1),
         "slam_scan_drift_pct": round(scan_drift_pct, 2),
+        "slam_scan_drift_median_pct": round(float(scan_drift_med) * 100, 2),
         "slam_scan_rot_drift_deg_per_m": round(scan_rot_deg_m, 3),
         "slam_chunked8_fps_240x180": round(chunk_fps, 2),
         "stereo_scan_fps_640x480": round(stereo_fps, 2),
         "stereo_scan_ate_cm": round(stereo_ate_cm, 1),
         "stereo_scan_drift_pct": round(float(s_drift) * 100.0, 2),
+        "stereo_lap_fps_640x480": round(lap_fps, 2),
+        "stereo_lap_ate_cm": round(lap_ate_cm, 1),
+        "stereo_lap_tracked": round(lap_trk, 3),
+        "stereo_lap_loops": int(lap_final.num_loops),
     }))
 
 

@@ -35,6 +35,14 @@ class FrontendConfig:
     cell_size: int = 16             # grid-NMS cell (reference: 32)
     max_keypoints: int = 1024       # total feature budget across levels
     fast_threshold: float = 13.0    # FAST epsilon (reference defines.h:7)
+    # two-threshold adaptive detection (ORB-SLAM2's iniThFAST/minThFAST):
+    # when > 0, cells where no corner passes fast_threshold fall back to
+    # the winner at this lower epsilon — texture-poor views (close walls,
+    # low-contrast scenes) keep enough features to track instead of
+    # starving (measured: the 640x480 stereo lap goes tracked 0.76 ->
+    # 1.00, ATE 43.7 -> 23.6 cm with 7.0).  0 = off (single threshold;
+    # the reference's behavior).  Costs one extra FAST+NMS pass per level.
+    fast_min_threshold: float = 0.0
     fast_arc_length: int = 12       # contiguous ring arc (reference defines.h:8)
     fast_border: int = 19           # keep-out border at each level (patch radius + ring)
     patch_size: int = 37            # orientation/BRIEF patch (must be odd)

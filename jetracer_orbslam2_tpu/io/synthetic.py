@@ -258,6 +258,43 @@ def generate_stereo_sequence(
         intrinsics=intr, baseline=baseline)
 
 
+def generate_stereo_lap_sequence(
+    n_frames: int = 180,
+    shape: tuple = (240, 320),
+    seed: int = 0,
+    radius: float = 1.2,
+    lap_frames: int = 160,
+    baseline: float = 0.11,
+) -> SyntheticStereoSequence:
+    """A lap-plus-overshoot STEREO sequence (lap_trajectory + a
+    baseline-shifted right camera): the loop-closure / relocalization
+    workload in the EuRoC-rig geometry, for the stereo slam_scan path.
+    Rendered in bounded chunks like generate_lap_sequence."""
+    h, w = shape
+    intr = jnp.asarray(
+        [0.9 * w, 0.9 * w, (w - 1) / 2.0, (h - 1) / 2.0], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(_PLANES))
+    textures = jnp.stack([make_texture(k) for k in keys])
+    poses = lap_trajectory(n_frames, radius=radius, lap_frames=lap_frames)
+    shift = jnp.eye(4).at[0, 3].set(baseline)
+    render = jax.vmap(lambda T: render_frame(T, intr, textures, shape))
+
+    def batched(ps):
+        chunk = 128
+        if ps.shape[0] <= chunk:
+            return render(ps)
+        parts = [render(ps[i:i + chunk])
+                 for i in range(0, ps.shape[0], chunk)]
+        return (jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts]))
+
+    left, depth = batched(poses)
+    right, _ = batched(poses @ shift)
+    return SyntheticStereoSequence(
+        left=left, right=right, depth=depth, poses=poses,
+        intrinsics=intr, baseline=baseline)
+
+
 def imu_from_poses(
     poses: Array,
     fps: float = 30.0,

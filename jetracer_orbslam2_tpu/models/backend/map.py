@@ -334,8 +334,9 @@ def compact_keyframes(
     # eligible set below n_force on long many-loop runs and re-creates the
     # capacity hard wall (ADVICE round-4 medium #2).  Ring slot r holds
     # the edge with age (num_loop - 1 - r) mod Le; edges older than the
-    # window lose protection, and any edge whose endpoint is culled is
-    # dropped below (its correction stays baked into the pose chain).
+    # window lose protection — when such an edge's endpoint is culled the
+    # edge is RETIRED ONTO THE ANCHOR below (measurement composed with the
+    # culled->anchor offset), so the constraint survives recycling.
     Le = m.loop_valid.shape[0]
     edge_age = jnp.mod(m.num_loop - 1 - jnp.arange(Le), Le)
     edge_protected = m.loop_valid & (edge_age < protect_loop_recent)
@@ -352,9 +353,6 @@ def compact_keyframes(
     rank = jnp.argsort(jnp.argsort(-score))        # 0 = most redundant
     cull = cull | (eligible & (rank < n_force))
     keep = m.kf_valid & ~cull
-    # drop loop edges that lost an endpoint (unprotected old edges only)
-    loop_valid = m.loop_valid & ~(cull[m.loop_i] | cull[m.loop_j])
-    m = m._replace(loop_valid=loop_valid)
 
     order = jnp.argsort(~keep, stable=True)        # kept first, slot order
     csum = jnp.cumsum(keep.astype(jnp.int32))
@@ -392,6 +390,20 @@ def compact_keyframes(
     obs_kf_new = jnp.where(obs_keep, before_idx[m.obs_kf], 0)
     oorder = jnp.argsort(~obs_keep, stable=True)
     obs_valid = obs_keep[oorder]
+    # retire loop edges onto surviving anchors: an edge (i, j, T_ij) whose
+    # endpoint i was culled becomes (anchor_i, j) with measurement
+    # rel_i @ T_ij @ rel_j^-1 (rel_k = inv(T_anchor) T_k at cull time,
+    # identity for kept endpoints) — the constraint T_i'^-1 T_j' ~ T_i'j'
+    # is exact at cull time, so long many-loop runs keep EVERY accepted
+    # loop's pull instead of silently dropping old ones (ADVICE round-4
+    # medium #2, remap option).  Degenerate self-edges (both endpoints
+    # collapse onto one anchor) are dropped.
+    rel_i = rel[m.loop_i]
+    rel_j_inv = jax.vmap(geo.pose_inverse)(rel[m.loop_j])
+    loop_T = jnp.matmul(rel_i, jnp.matmul(m.loop_T, rel_j_inv))
+    new_li = before_idx[m.loop_i]
+    new_lj = before_idx[m.loop_j]
+    loop_valid = m.loop_valid & (new_li != new_lj)
     return m._replace(
         kf_pose=m.kf_pose[order],
         kf_valid=keep[order],
@@ -408,8 +420,10 @@ def compact_keyframes(
         obs_z=jnp.where(obs_valid, m.obs_z[oorder], 0.0),
         obs_valid=obs_valid,
         num_obs=jnp.sum(obs_keep).astype(jnp.int32),
-        loop_i=jnp.where(m.loop_valid, before_idx[m.loop_i], 0),
-        loop_j=jnp.where(m.loop_valid, before_idx[m.loop_j], 0),
+        loop_i=jnp.where(loop_valid, new_li, 0),
+        loop_j=jnp.where(loop_valid, new_lj, 0),
+        loop_T=jnp.where(loop_valid[:, None, None], loop_T, m.loop_T),
+        loop_valid=loop_valid,
         num_kf=jnp.sum(keep).astype(jnp.int32),
     )
 

@@ -57,20 +57,35 @@ def extract_features(
     """
     blurred = preprocess.gaussian_blur_3x3(gray)
     levels = preprocess.build_pyramid(blurred, cfg.num_levels)
-    winners = []
-    for img in levels:
+
+    def cell_winners(img, threshold):
         # trace-time dispatch: fused VMEM-resident Pallas kernel on TPU
         # (bit-exact vs the XLA path — see tests/test_pallas_fast.py)
         if pallas_fast.use_pallas(img.shape):
             resp = pallas_fast.fast_nms_response(
-                img, cfg.fast_threshold, cfg.fast_arc_length, cfg.fast_border
-            )
-            winners.append(nms.grid_nms(resp, cfg.cell_size, suppress=False))
-        else:
-            resp = fast.fast_score_map(
-                img, cfg.fast_threshold, cfg.fast_arc_length, cfg.fast_border
-            )
-            winners.append(nms.grid_nms(resp, cfg.cell_size))
+                img, threshold, cfg.fast_arc_length, cfg.fast_border)
+            return nms.grid_nms(resp, cfg.cell_size, suppress=False)
+        resp = fast.fast_score_map(
+            img, threshold, cfg.fast_arc_length, cfg.fast_border)
+        return nms.grid_nms(resp, cfg.cell_size)
+
+    winners = []
+    for img in levels:
+        hi = cell_winners(img, cfg.fast_threshold)
+        if cfg.fast_min_threshold > 0.0:
+            # two-threshold adaptive detection (ORB-SLAM2 iniThFAST /
+            # minThFAST): cells empty at the primary epsilon take the
+            # low-epsilon winner, so texture-poor views keep features.
+            # Strong cells are untouched, and top-K selection still
+            # prefers higher scores, so weak corners only fill leftover
+            # keypoint budget.
+            lo = cell_winners(img, cfg.fast_min_threshold)
+            use_hi = hi.score > cfg.min_score
+            hi = nms.CellWinners(
+                score=jnp.where(use_hi, hi.score, lo.score),
+                y=jnp.where(use_hi, hi.y, lo.y),
+                x=jnp.where(use_hi, hi.x, lo.x))
+        winners.append(hi)
     kp = nms.select_keypoints(
         winners, cfg.level_shapes, cfg.max_keypoints, cfg.min_score, cfg.fast_border
     )

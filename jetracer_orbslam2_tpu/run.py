@@ -45,6 +45,11 @@ def build_argparser():
     p.add_argument("--resume", help="checkpoint directory to start from")
     p.add_argument("--max-keypoints", type=int, default=1024)
     p.add_argument("--levels", type=int, default=4)
+    p.add_argument("--fast-min-threshold", type=float, default=0.0,
+                   help="two-threshold adaptive FAST: cells empty at the "
+                        "primary epsilon fall back to this lower one "
+                        "(ORB-SLAM2 minThFAST; 7 recommended for "
+                        "low-texture scenes, 0 = off)")
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="shard the map backend over an N-device mesh "
                         "(real chips when available, virtual CPU otherwise)")
@@ -128,6 +133,7 @@ def _run_odometry(args, frames, n, hw, intr, gt, cal):
     h, w = hw
     fcfg = FrontendConfig(height=h, width=w, num_levels=args.levels,
                           max_keypoints=args.max_keypoints,
+            fast_min_threshold=args.fast_min_threshold,
                           dist=cal["dist"], dist_model=cal["dist_model"],
                           depth_intrinsics=cal["depth_intrinsics"],
                           depth_dist=cal["depth_dist"],
@@ -259,6 +265,7 @@ def main(argv=None) -> int:
         cfg = SystemConfig(frontend=FrontendConfig(
             height=h, width=w, num_levels=args.levels,
             max_keypoints=args.max_keypoints,
+            fast_min_threshold=args.fast_min_threshold,
             dist=cal["dist"], dist_model=cal["dist_model"],
             depth_intrinsics=cal["depth_intrinsics"],
             depth_dist=cal["depth_dist"],
@@ -306,6 +313,7 @@ def main(argv=None) -> int:
         frontend=FrontendConfig(
             height=h, width=w, num_levels=args.levels,
             max_keypoints=args.max_keypoints,
+            fast_min_threshold=args.fast_min_threshold,
             dist=cal["dist"], dist_model=cal["dist_model"],
             depth_intrinsics=cal["depth_intrinsics"],
             depth_dist=cal["depth_dist"],

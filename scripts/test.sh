@@ -23,9 +23,13 @@ for f in "${files[@]}"; do
   # last summary line looks like: "12 passed in 34.56s" or "1 failed, ..."
   summary=$(echo "$out" | grep -E '[0-9]+ (passed|failed|error)' | tail -1)
   npass=$(echo "$summary" | grep -oE '[0-9]+ passed' | grep -oE '[0-9]+')
-  nfail=$(echo "$summary" | grep -oE '[0-9]+ (failed|error)' | grep -oE '[0-9]+' | paste -sd+ | bc)
+  nfail=0
+  for k in $(echo "$summary" | grep -oE '[0-9]+ (failed|error)' \
+             | grep -oE '[0-9]+'); do
+    nfail=$((nfail + k))
+  done
   total_pass=$((total_pass + ${npass:-0}))
-  total_fail=$((total_fail + ${nfail:-0}))
+  total_fail=$((total_fail + nfail))
   if [ $rc -ne 0 ]; then
     failed_files+=("$f")
     echo "FAIL $f (rc=$rc): $summary"

@@ -316,3 +316,44 @@ def test_unpack_bits_roundtrip():
     bits = np.asarray(orb.unpack_bits(jnp.asarray(desc)))
     ref = np.unpackbits(desc.view(np.uint8), bitorder="little").reshape(3, 256)
     np.testing.assert_array_equal(bits, ref)
+
+def test_adaptive_two_threshold_detection_rescues_low_contrast():
+    """FrontendConfig.fast_min_threshold (ORB-SLAM2 minThFAST): a
+    low-contrast scene that produces almost nothing at the primary
+    epsilon keeps features via the per-cell low-threshold fallback, and
+    cells with strong corners are untouched (their winners are identical
+    to the single-threshold run)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jetracer_orbslam2_tpu.config import FrontendConfig
+    from jetracer_orbslam2_tpu.models.frontend import extract_features
+
+    h, w = 120, 160
+    key = jax.random.PRNGKey(3)
+    # weak texture: +-4 gray-level noise, below epsilon=13, above 2
+    img = 128.0 + 4.0 * jax.random.normal(key, (h, w))
+    # one strong blob feature (a 3x3 dot has a full 360-degree dark
+    # ring arc; an axis-aligned square corner sits exactly at FAST's
+    # 270-degree margin and does not reliably fire)
+    img = img.at[30:33, 30:33].set(255.0)
+    img = jnp.clip(img, 0, 255)
+
+    base = FrontendConfig(height=h, width=w, num_levels=1,
+                          max_keypoints=128)
+    kp0, _, _ = extract_features(img, base)
+    n0 = int(np.asarray(kp0.valid).sum())
+
+    ada = FrontendConfig(height=h, width=w, num_levels=1,
+                         max_keypoints=128, fast_min_threshold=2.0)
+    kp1, _, _ = extract_features(img, ada)
+    n1 = int(np.asarray(kp1.valid).sum())
+    assert n1 > max(4 * n0, 20), (n0, n1)
+
+    # the strong corner survives with identical coords and score: the
+    # top-scoring keypoint in both runs matches
+    i0 = int(np.argmax(np.asarray(kp0.score)))
+    i1 = int(np.argmax(np.asarray(kp1.score)))
+    np.testing.assert_allclose(np.asarray(kp0.xy)[i0],
+                               np.asarray(kp1.xy)[i1])
+    assert float(kp0.score[i0]) == float(kp1.score[i1])

@@ -180,27 +180,42 @@ def test_obs_kf_sorted_prefix_invariant():
 
 def test_loop_edge_protection_is_windowed():
     """Only the newest kf_protect_loop_recent loop edges protect their
-    endpoints; an older edge's endpoint is cullable and the edge is then
-    dropped (ADVICE round-4 medium #2 — permanent protection re-created
-    the capacity hard wall on long many-loop runs)."""
+    endpoints; an older edge whose endpoint is culled RETIRES onto the
+    endpoint's surviving anchor with the measurement composed through the
+    culled->anchor offset, so the constraint survives slot recycling
+    (ADVICE round-4 medium #2 — permanent protection re-created the
+    capacity hard wall; plain dropping lost multi-lap accuracy, measured
+    0.60 -> 0.85 m on the 8.7-lap recycling test)."""
     m = _kf_toy_map()
-    # loop edge between the two fully-redundant keyframes 1 and 2
+    # edge A between the two fully-redundant keyframes 1 and 2; edge B
+    # from redundant keyframe 1 to the kept keyframe 3
     m = m._replace(
-        loop_i=m.loop_i.at[0].set(1), loop_j=m.loop_j.at[0].set(2),
-        loop_valid=m.loop_valid.at[0].set(True), num_loop=jnp.int32(1))
-    # edge inside the protection window: endpoints survive the cull
+        loop_i=m.loop_i.at[0].set(1).at[1].set(1),
+        loop_j=m.loop_j.at[0].set(2).at[1].set(3),
+        loop_T=m.loop_T.at[1].set(jnp.eye(4).at[0, 3].set(2.0)),
+        loop_valid=m.loop_valid.at[0].set(True).at[1].set(True),
+        num_loop=jnp.int32(2))
+    # edges inside the protection window: endpoints survive the cull
     m_prot = map_mod.compact_keyframes(
         m, jnp.float32(0.9), jnp.int32(3), jnp.int32(2), jnp.int32(8),
         jnp.int32(8))
     assert int(m_prot.num_kf) == 6        # nothing cullable
-    assert bool(m_prot.loop_valid[0])
-    # protection window 0: the redundant endpoints are culled and the
-    # orphaned edge is dropped (its correction stays baked into poses)
+    assert bool(m_prot.loop_valid[0]) and bool(m_prot.loop_valid[1])
+    # protection window 0: the redundant keyframes 1, 2 are culled.
+    # Edge A collapses onto one anchor (degenerate self-edge) -> dropped;
+    # edge B retires onto (anchor-of-1 = kf0, kf3) with the measurement
+    # composed through the +1x culled->anchor offset: T_03 = +3x.
     m_cull = map_mod.compact_keyframes(
         m, jnp.float32(0.9), jnp.int32(3), jnp.int32(2), jnp.int32(8),
         jnp.int32(0))
     assert int(m_cull.num_kf) == 4
     assert not bool(m_cull.loop_valid[0])
+    assert bool(m_cull.loop_valid[1])
+    assert int(m_cull.loop_i[1]) == 0
+    # kf3 packs to new slot 1 (survivors: 0, 3, 4, 5)
+    assert int(m_cull.loop_j[1]) == 1
+    np.testing.assert_allclose(
+        np.asarray(m_cull.loop_T[1][0, 3]), 3.0, atol=1e-6)
     _check_obs_prefix(m_cull)
 
 
