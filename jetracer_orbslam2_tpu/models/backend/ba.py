@@ -314,12 +314,17 @@ def _solve_schur(Hpp, Hll, G, bp, bl, lam, free, lm_free, psum):
 
 
 def _lm_step_fused(poses_cw, points, obs, lm_free, free, intrinsics,
-                   huber, lam, interpret):
+                   huber, lam, interpret, psum=lambda x: x):
     """One LM linear solve via the fused Pallas kernels (ops/pallas_ba):
     Jacobians never touch HBM — assembly, Hll inversion, and the Schur
     contractions stream landmark tiles through VMEM; only Hll^-1 (9, L)
     and bl (3, L) round-trip for the back-substitution.  Math identical
-    to dense_normal_equations + _solve_schur (un-sharded path)."""
+    to dense_normal_equations + _solve_schur.
+
+    Under shard_map (`psum` reduces over the landmark axis) each device
+    runs the kernels on its LOCAL landmark block and the pose-sized
+    accumulators (A_il, S_il, bp, Gh·bl) psum once per iteration — the
+    same O(P^2) communication structure as the XLA sharded path."""
     from jetracer_orbslam2_tpu.ops import pallas_ba
 
     P = poses_cw.shape[0]
@@ -334,6 +339,10 @@ def _lm_step_fused(poses_cw, points, obs, lm_free, free, intrinsics,
     A_il, S_il, bp, rhs_gh, hll_inv, bl = pallas_ba.fused_normal_schur(
         poses_flat, points, obs5, lm_free[None], scalars,
         interpret=interpret)
+    A_il = psum(A_il)
+    S_il = psum(S_il)
+    bp = psum(bp)
+    rhs_gh = psum(rhs_gh)
 
     # un-interleave the il layout (row = i*8 + p)
     A4 = A_il.reshape(6, P, 6, P)
@@ -386,8 +395,8 @@ def lm_run_dense(
     interpret = fused == "interpret"
     if fused is None:
         fused = axis is None and pallas_ba.use_pallas_ba(poses_cw.shape[0])
-    elif fused and axis is not None:
-        raise ValueError("fused BA path does not support sharding axes")
+    if fused and not pallas_ba.use_pallas_ba(poses_cw.shape[0], interpret):
+        raise ValueError("fused BA path needs P==8 and a TPU backend")
     w_valid = obs.w                                      # (P, L)
     lm_nobs = jnp.sum(w_valid, axis=0)
     lm_free = ((lm_nobs >= 2.0) & lm_valid).astype(jnp.float32)  # (L,)
@@ -422,7 +431,7 @@ def lm_run_dense(
         if fused:
             dxp, dxl = _lm_step_fused(
                 poses_cw, points, obs, lm_free, free, intrinsics, huber,
-                lam, interpret)
+                lam, interpret, psum)
         else:
             Hpp_p, Hll, G, bp_p, bl, _ = dense_normal_equations(
                 poses_cw, points, obs, w_valid, intrinsics, huber)
