@@ -98,7 +98,7 @@ def test_cli_euroc_fixture_chunked_scan():
     round-4 items 1 and 6)."""
     report = _run_cli(["--dataset", EUROC, "--levels", "3",
                        "--max-keypoints", "256", "--chunked", "4",
-                       "--json"])
+                       "--fast-min-threshold", "7", "--json"])
     assert report["stereo"] is True
     assert report["frames"] == 16
     assert report["ate_rmse_m"] < 0.2, report
